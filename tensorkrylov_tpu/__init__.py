@@ -1,0 +1,44 @@
+"""tensorkrylov_tpu — TPU-native tensorized Krylov solver framework.
+
+Solves A x = b for Kronecker-sum operators A = Σ_s I⊗…⊗A_s⊗…⊗I with
+tensor-product right-hand sides, entirely in low-rank form, per
+Kressner–Tobler (SIAM J. Matrix Anal. Appl. 31(4), 2010). Built from scratch
+for JAX/XLA/Pallas; capability reference: thbake/TensorKrylov.jl
+(see SURVEY.md / DESIGN.md at the repo root).
+"""
+from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
+from .solver import solve
+from .system import TensorizedSystem, random_rhs, solve_tensorized_system
+from .models import gallery
+from .models.gallery import (
+    conv_diff,
+    eigval_matrix,
+    laplace,
+    operator_from_dense_factors,
+    rand_spd,
+)
+from .utils.cp import cp_full, cp_norm, cp_dot, kron_residual_dense
+
+__all__ = [
+    "CPTensor",
+    "KroneckerSumOperator",
+    "SolveResult",
+    "SolverConfig",
+    "Status",
+    "solve",
+    "TensorizedSystem",
+    "random_rhs",
+    "solve_tensorized_system",
+    "gallery",
+    "laplace",
+    "conv_diff",
+    "eigval_matrix",
+    "rand_spd",
+    "operator_from_dense_factors",
+    "cp_full",
+    "cp_norm",
+    "cp_dot",
+    "kron_residual_dense",
+]
+
+__version__ = "0.1.0"

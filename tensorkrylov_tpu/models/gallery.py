@@ -1,0 +1,158 @@
+"""Problem gallery — the "model families" of the framework.
+
+TPU-native rebuild of the reference's MatrixGallery
+(/root/reference/src/tensor_struct.jl:18-79): each constructor returns a
+:class:`KroneckerSumOperator` with stacked DIA bands instead of per-factor
+Julia sparse/dense matrices. Matrices are assembled on host in numpy
+(float64) — assembly is not a hot path — and shipped to device once.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import KroneckerSumOperator
+
+__all__ = [
+    "laplace",
+    "conv_diff",
+    "eigval_matrix",
+    "rand_spd",
+    "dense_to_bands",
+    "bands_to_dense",
+    "operator_from_dense_factors",
+]
+
+
+def _banded_operator(diags: dict, d: int, n: int, dtype, symmetric: bool) -> KroneckerSumOperator:
+    """Build an operator whose d factors are all equal to the banded matrix
+    described by {offset: values or scalar}."""
+    offsets = tuple(sorted(diags.keys()))
+    bands = np.zeros((len(offsets), n), dtype=np.float64)
+    for b, off in enumerate(offsets):
+        length = n - abs(off)
+        vals = diags[off]
+        vals = np.broadcast_to(np.asarray(vals, dtype=np.float64), (length,))
+        if off >= 0:
+            bands[b, :length] = vals
+        else:
+            bands[b, -off:] = vals
+    stacked = np.broadcast_to(bands, (d, len(offsets), n))
+    return KroneckerSumOperator(jnp.asarray(stacked, dtype=dtype), offsets, symmetric)
+
+
+def laplace(d: int, n: int, dtype=jnp.float64) -> KroneckerSumOperator:
+    """1-D Dirichlet Laplacian factors: (1/h²)·tridiag(-1, 2, -1), h = 1/(n+1).
+
+    Reference: LaplaceDense/Laplace, /root/reference/src/tensor_struct.jl:48-57
+    (dense vs sparse storage is a non-distinction here — both map to bands).
+    """
+    h2inv = float((n + 1) ** 2)
+    return _banded_operator(
+        {-1: -h2inv, 0: 2.0 * h2inv, 1: -h2inv}, d, n, dtype, symmetric=True
+    )
+
+
+def conv_diff(d: int, n: int, c: float = 10.0, dtype=jnp.float64) -> KroneckerSumOperator:
+    """Convection–diffusion factors: Laplacian + (c/4h)·diags(+1 @ -1, +3 @ 0,
+    -5 @ +1, +1 @ +2) — nonsymmetric, bandwidth (1 lower, 2 upper).
+
+    Reference: ConvDiff, /root/reference/src/tensor_struct.jl:60-68.
+    """
+    h = 1.0 / (n + 1)
+    h2inv = 1.0 / h**2
+    cv = c / (4.0 * h)
+    return _banded_operator(
+        {
+            -1: -h2inv + cv,
+            0: 2.0 * h2inv + 3.0 * cv,
+            1: -h2inv - 5.0 * cv,
+            2: cv,
+        },
+        d,
+        n,
+        dtype,
+        symmetric=False,
+    )
+
+
+def eigval_matrix(eigenvalues, d: Optional[int] = None, dtype=jnp.float64) -> KroneckerSumOperator:
+    """Diagonal factors with a prescribed spectrum (synthetic-spectrum model).
+
+    Reference: EigValMat, /root/reference/src/tensor_struct.jl:70.
+    Accepts one (n,) vector (replicated over d) or a (d, n) array.
+    """
+    ev = np.asarray(eigenvalues, dtype=np.float64)
+    if ev.ndim == 1:
+        assert d is not None, "pass d when giving a single eigenvalue vector"
+        ev = np.broadcast_to(ev, (d, ev.shape[0]))
+    bands = ev[:, None, :]  # (d, 1, n), offset 0
+    return KroneckerSumOperator(jnp.asarray(bands, dtype=dtype), (0,), symmetric=True)
+
+
+def rand_spd(d: int, n: int, seed: int = 0, dtype=jnp.float64) -> KroneckerSumOperator:
+    """Random dense SPD factors A_s = R_s^T R_s (distinct per factor, unlike
+    the reference which replicates one draw).
+
+    Reference: RandSPD, /root/reference/src/tensor_struct.jl:73-79. Dense
+    matrices are stored as full bands (offsets -(n-1)..(n-1)); for dense
+    problems prefer `operator_from_dense_factors`.
+    """
+    rng = np.random.default_rng(seed)
+    mats = []
+    for _ in range(d):
+        r = rng.random((n, n))
+        mats.append(r.T @ r)
+    return operator_from_dense_factors(np.stack(mats), symmetric=True, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Conversions
+
+
+def dense_to_bands(mats: np.ndarray, offsets: Optional[Sequence[int]] = None):
+    """(d, n, n) dense factors → ((d, nb, n) bands, offsets tuple).
+
+    If offsets is None, detects nonzero diagonals across all factors.
+    """
+    mats = np.asarray(mats)
+    d, n, _ = mats.shape
+    if offsets is None:
+        offsets = [
+            off
+            for off in range(-(n - 1), n)
+            if any(np.any(np.diagonal(mats[s], off)) for s in range(d))
+        ]
+        if not offsets:
+            offsets = [0]
+    offsets = tuple(offsets)
+    bands = np.zeros((d, len(offsets), n), dtype=mats.dtype)
+    for b, off in enumerate(offsets):
+        length = n - abs(off)
+        for s in range(d):
+            diag = np.diagonal(mats[s], off)
+            if off >= 0:
+                bands[s, b, :length] = diag
+            else:
+                bands[s, b, -off:] = diag
+    return bands, offsets
+
+
+def bands_to_dense(op: KroneckerSumOperator) -> np.ndarray:
+    """(d, nb, n) bands → (d, n, n) dense factors (test/debug oracle)."""
+    bands = np.asarray(op.bands)
+    d, nb, n = bands.shape
+    out = np.zeros((d, n, n), dtype=bands.dtype)
+    for b, off in enumerate(op.offsets):
+        for i in range(n):
+            j = i + off
+            if 0 <= j < n:
+                out[:, i, j] = bands[:, b, i]
+    return out
+
+
+def operator_from_dense_factors(mats, symmetric: bool, dtype=jnp.float64) -> KroneckerSumOperator:
+    bands, offsets = dense_to_bands(np.asarray(mats, dtype=np.float64))
+    return KroneckerSumOperator(jnp.asarray(bands, dtype=dtype), offsets, symmetric)

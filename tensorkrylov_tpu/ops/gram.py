@@ -1,0 +1,149 @@
+"""Low-rank (Lemma 3.4) residual-norm algebra.
+
+Evaluates ‖r‖² = Σ_s |h^{(s)}_{k+1,k}|²·‖y_𝔏‖²_s + ‖H y − b̃‖² for a CP
+tensor y without materializing anything of size k^d.
+
+Behavioural reference: /root/reference/src/utils.jl:132-443 (maskprod /
+MVnorm / tensorinnerprod / compressed_residual / residualnorm!).
+
+TPU-native formulation (DESIGN.md §5): instead of the reference's O(d²·t²)
+masked-product double loop, a *transfer-matrix scan over the d modes*. For
+each (i, j) rank pair, Σ_{s,r} Π_m G_m^{(s,r)} is a polynomial in the
+per-mode Gram matrices; scanning modes with the carry
+
+    p   = Π_m g_m                     (no H anywhere)
+    pa  = Σ_s a_s Π_{m≠s} g_m        (H on the left argument, one mode)
+    pb  = Σ_r b_r Π_{m≠r} g_m        (H on the right argument, one mode)
+    pc  = Σ_s c_s Π_{m≠s} g_m        (H on both arguments, same mode)
+    pab = Σ_{s≠r} a_s b_r Π_{m∉{s,r}} g_m
+
+(all t×t, elementwise products) gives the exact sum division-free in
+O(d·t²) elementwise work after O(d·t²·k) MXU Grams. Everything here is f64:
+‖Hy‖² − 2⟨Hy,b̃⟩ + ‖b̃‖² is catastrophically cancellative (the reference
+dedicates a breakdown exception to it, /root/reference/src/utils.jl:7-14).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "ResidualTerms",
+    "cp_gram_matrices",
+    "mv_norm_sq",
+    "tensor_inner_prod",
+    "residual_norm_sq",
+    "excluded_products",
+]
+
+
+def _mask_yz(H, Y, btil, k):
+    K = H.shape[1]
+    m = (jnp.arange(K) < k).astype(H.dtype)
+    Hm = H * m[None, :, None] * m[None, None, :]
+    Ym = Y * m[None, :, None]
+    btil_m = btil * m[None, :]
+    return Hm, Ym, btil_m
+
+
+def cp_gram_matrices(Hm, Ym):
+    """Z = H_s Y_s and the three t×t Gram families (all (d, t, t))."""
+    Z = jnp.einsum("dij,djt->dit", Hm, Ym)
+    Gy = jnp.einsum("dkt,dks->dts", Ym, Ym)
+    Gz = jnp.einsum("dkt,dks->dts", Z, Z)
+    X = jnp.einsum("dkt,dks->dts", Ym, Z)  # X[i,j] = <y_i, H y_j>
+    return Z, Gy, Gz, X
+
+
+def mv_norm_sq(Gy, Gz, X, weights):
+    """‖H y‖² via the transfer scan. Reference: MVnorm,
+    /root/reference/src/utils.jl:255-324 (O(d²t²) there, O(dt²) here)."""
+    t = Gy.shape[1]
+    zeros = jnp.zeros((t, t), Gy.dtype)
+
+    def body(carry, mats):
+        p, pa, pb, pc, pab = carry
+        g, c, x = mats              # Gy_m, Gz_m, X_m
+        a = x.T                     # <H y_i, y_j> — H on left (term index s=m)
+        b = x                       # <y_i, H y_j> — H on right (term r=m)
+        pab = pab * g + pa * b + pb * a
+        pa = pa * g + p * a
+        pb = pb * g + p * b
+        pc = pc * g + p * c
+        p = p * g
+        return (p, pa, pb, pc, pab), None
+
+    init = (jnp.ones((t, t), Gy.dtype), zeros, zeros, zeros, zeros)
+    (p, pa, pb, pc, pab), _ = lax.scan(body, init, (Gy, Gz, X))
+    T = pab + pc
+    return weights @ T @ weights
+
+
+def tensor_inner_prod(Ym, Z, btil_m, weights):
+    """⟨H y, b̃⟩ via the single-excluded-index scan. Reference:
+    tensorinnerprod, /root/reference/src/utils.jl:326-368 (which hard-codes
+    b̃ = ‖b‖e₁; we use the actual b̃ vectors, supporting drift and general
+    starting vectors)."""
+    g = jnp.einsum("dkt,dk->dt", Ym, btil_m)  # <y_i, b̃>_m
+    a = jnp.einsum("dkt,dk->dt", Z, btil_m)   # <H y_i, b̃>_m
+
+    t = g.shape[1]
+
+    def body(carry, vecs):
+        q, qa = carry
+        gm, am = vecs
+        qa = qa * gm + q * am
+        q = q * gm
+        return (q, qa), None
+
+    (q, qa), _ = lax.scan(body, (jnp.ones((t,), g.dtype), jnp.zeros((t,), g.dtype)), (g, a))
+    return weights @ qa
+
+
+def excluded_products(Gy):
+    """E_s = Π_{m≠s} Gy_m elementwise, via exclusive forward/backward
+    cumulative products (division-free). (d, t, t)."""
+    ones = jnp.ones_like(Gy[:1])
+    pre = jnp.concatenate([ones, jnp.cumprod(Gy, axis=0)[:-1]], axis=0)
+    rev = jnp.flip(jnp.cumprod(jnp.flip(Gy, axis=0), axis=0), axis=0)
+    suf = jnp.concatenate([rev[1:], ones], axis=0)
+    return pre * suf
+
+
+class ResidualTerms(NamedTuple):
+    r_norm_sq: jax.Array      # full Lemma-3.4 squared residual
+    r_comp_sq: jax.Array      # ‖Hy − b̃‖² (compressed part; may go negative)
+    boundary_sq: jax.Array    # Σ_s h²‖y_𝔏‖² term
+    cancel_scale: jax.Array   # ‖Hy‖² + ‖b̃‖² — the magnitude against which
+                              # the cancellation error of r_comp_sq scales
+
+
+def residual_norm_sq(H, Y, btil, k, weights, subdiag) -> ResidualTerms:
+    """Full residual evaluation. Reference: residualnorm!,
+    /root/reference/src/utils.jl:402-443.
+
+    Args:
+      H: (d, K, K) projected factors (padded). Y: (d, K, tmax) CP factors
+      (masked columns). btil: (d, K). k: active size. weights: (tmax,).
+      subdiag: (d,) entries h^{(s)}_{k+1,k}.
+    """
+    Hm, Ym, btil_m = _mask_yz(H, Y, btil, k)
+    Z, Gy, Gz, X = cp_gram_matrices(Hm, Ym)
+
+    hy2 = mv_norm_sq(Gy, Gz, X, weights)
+    ip = tensor_inner_prod(Ym, Z, btil_m, weights)
+    b2 = jnp.prod(jnp.sum(btil_m * btil_m, axis=1))
+    r_comp_sq = hy2 - 2.0 * ip + b2
+
+    # boundary terms: y's k-th slice in mode s across all ranks
+    yrow = lax.dynamic_slice_in_dim(Y, k - 1, 1, axis=1)[:, 0, :]  # (d, tmax)
+    E = excluded_products(Gy)                                       # (d, t, t)
+    outer = yrow[:, :, None] * yrow[:, None, :]                     # (d, t, t)
+    per_mode = jnp.einsum("i,dij,j->d", weights, outer * E, weights)
+    boundary = jnp.sum(subdiag * subdiag * per_mode)
+
+    r_comp_clamped = jnp.maximum(r_comp_sq, 0.0)
+    return ResidualTerms(boundary + r_comp_clamped, r_comp_sq, boundary, hy2 + b2)

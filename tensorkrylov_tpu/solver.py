@@ -1,0 +1,270 @@
+"""Tensorized Krylov solver driver.
+
+TPU-native rebuild of tensorkrylov! (/root/reference/src/tensor_krylov_method.jl:36-125):
+the entire iteration — batched Krylov steps, spectral estimation,
+exponential-sum coefficient selection, projected CP solve, low-rank residual
+— runs inside ONE jitted `lax.while_loop` with static shapes. No host
+round-trips and no per-iteration file I/O (the reference re-reads its
+coefficient CSV every iteration, /root/reference/src/approximation.jl:160-167).
+
+Termination is a status flag in the carry (converged / compressed-norm
+breakdown / maxiter) instead of the reference's exception + println
+signalling (/root/reference/src/utils.jl:7-14,
+/root/reference/src/tensor_krylov_method.jl:81-98).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .coeffs.tables import BHTables, ExpSumCoeffs, load_tables, select_bh, select_stenger
+from .ops.eigen import (
+    analytic_laplace_extremes,
+    dense_minor_window,
+    masked_eigh,
+    sym_extremes_from_eigs,
+)
+from .ops.expsum import cp_solve_nonsym, cp_solve_sym
+from .ops.gram import residual_norm_sq
+from .ops.orth import KrylovState, arnoldi_step, init_state, lanczos_step
+from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
+
+__all__ = ["solve", "SolverConfig"]
+
+
+class _Carry(NamedTuple):
+    state: KrylovState
+    k: jax.Array
+    status: jax.Array
+    weights: jax.Array      # (tmax,) current CP solution weights
+    Y: jax.Array            # (d, K, tmax) current CP solution factors
+    rel_res: jax.Array      # (K,)
+    r_comp: jax.Array       # (K,)
+    orth: jax.Array         # (K,)
+    lmin_h: jax.Array       # (K,)
+    lmax_h: jax.Array       # (K,)
+    rank_h: jax.Array       # (K,) int32
+
+
+def _step_fn(config: SolverConfig):
+    if config.orth == "arnoldi":
+        return lambda op, st, b, k: arnoldi_step(op, st, b, k, proj_dtype=config.proj_dtype)
+    reorth = config.orth == "lanczos_reorth"
+    return lambda op, st, b, k: lanczos_step(
+        op, st, b, k, reorth=reorth, proj_dtype=config.proj_dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_jit(
+    op: KroneckerSumOperator,
+    b: jax.Array,
+    tables: Optional[BHTables],
+    config: SolverConfig,
+) -> SolveResult:
+    d, n = b.shape
+    K = config.kmax + 1
+    tmax = config.tmax
+    pdt = config.proj_dtype
+
+    op = op.astype(config.basis_dtype)
+    state0, b_norms = init_state(op, b, config.kmax, pdt)
+    b_norm_prod = jnp.prod(b_norms)
+
+    step = _step_fn(config)
+    sym = op.symmetric
+
+    # dense K×K windows of the A factors — only needed for 'A_minor' spectra
+    W_A = dense_minor_window(op, K).astype(pdt) if config.spectral_source == "A_minor" else None
+    eig_d = 1 if config.identical_factors else d
+
+    def spectral_and_solve(H, btil, k):
+        """→ (lmin, lmax, coeffs, weights (tmax,), Y (d, K, tmax))."""
+        if sym:
+            src = H[:eig_d] if config.spectral_source != "A_minor" else W_A[:eig_d]
+            w, Q = masked_eigh(src, k)
+            if config.identical_factors:
+                w = jnp.broadcast_to(w, (d, K))
+                Q = jnp.broadcast_to(Q, (d, K, K))
+            if config.spectral_source == "analytic_laplace":
+                lmin, lmax = analytic_laplace_extremes(d, n, k.astype(pdt), pdt)
+            else:
+                lmin, lmax = sym_extremes_from_eigs(w)
+            if config.spectral_source == "A_minor":
+                # spectra estimated from A minors, but the exp solve still
+                # diagonalizes H itself
+                wh, Qh = masked_eigh(H[:eig_d], k)
+                if config.identical_factors:
+                    wh = jnp.broadcast_to(wh, (d, K))
+                    Qh = jnp.broadcast_to(Qh, (d, K, K))
+            else:
+                wh, Qh = w, Q
+            kappa = lmax / lmin
+            coeff_tol = config.tol / kappa if config.coeff_tol_scale == "kappa" else config.tol
+            coeffs = select_bh(kappa, coeff_tol, tables, tmax, config.bh_row_select)
+            if tmax > 63:
+                # hybrid: when the optimal BH tables can't reach the ε target,
+                # fall back to the (longer) closed-form sinc rule — achievable
+                # accuracy beyond the reference's table-bound floor
+                st = select_stenger(coeff_tol, tmax, pdt)
+                use_st = (coeffs.err > coeff_tol) & (st.err < coeffs.err)
+                coeffs = jax.tree.map(
+                    lambda a, b: jnp.where(use_st, a, b), st, coeffs
+                )
+            weights, Y = cp_solve_sym(
+                wh, Qh, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
+            )
+            kappa_eff = kappa
+        else:
+            # Bendixson bound via the symmetric part of the H minors
+            Hs = 0.5 * (H + jnp.swapaxes(H, 1, 2))
+            w, _ = masked_eigh(Hs[:eig_d], k)
+            if config.identical_factors:
+                w = jnp.broadcast_to(w, (d, K))
+            lmin, lmax = sym_extremes_from_eigs(w)
+            # ε target: 'kappa' certifies the residual (ε·κ ≤ tol, with the
+            # Gershgorin row bound standing in for λ_max of a nonsym H);
+            # 'reference' reproduces tol·λ_min (y-error target,
+            # /root/reference/src/approximation.jl:86-107)
+            if config.coeff_tol_scale == "kappa":
+                gersh = jnp.sum(jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1))
+                eps_target = config.tol * lmin / gersh
+            else:
+                eps_target = config.tol * lmin
+            coeffs = select_stenger(eps_target, tmax, pdt)
+            weights, Y = cp_solve_nonsym(
+                H, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
+            )
+            gersh_k = jnp.sum(jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1))
+            kappa_eff = gersh_k / lmin
+        return lmin, lmax, coeffs, weights, Y, kappa_eff
+
+    def body(c: _Carry) -> _Carry:
+        k = c.k
+        state, loss = step(op, c.state, b, k)
+        H, btil = state.H, state.btil
+
+        lmin, lmax, coeffs, weights, Y, kappa_eff = spectral_and_solve(H, btil, k)
+
+        zero = jnp.zeros((), jnp.int32)
+        subdiag = lax.dynamic_slice(
+            H, (zero, jnp.asarray(k, jnp.int32), jnp.asarray(k - 1, jnp.int32)), (d, 1, 1)
+        )[:, 0, 0]
+        terms = residual_norm_sq(H, Y, btil, k, weights, subdiag)
+
+        eps = jnp.finfo(pdt).eps
+        breakdown = terms.r_comp_sq < -config.breakdown_rel * eps * terms.cancel_scale
+        # Below the f64 cancellation floor the computed r_comp² is pure noise;
+        # substitute the analytic exp-sum bound ‖Hy−b̃‖ ≤ ε·κ·‖b̃‖ (|x·f(x)−1|
+        # ≤ ε·x on the scaled spectrum [1, κ]). This certifies residuals below
+        # the ~√eps floor where the reference's estimator (and its breakdown
+        # exception) gives up.
+        r_comp_bound = coeffs.err * kappa_eff * b_norm_prod
+        cancel_floor = 16.0 * eps * terms.cancel_scale
+        # computed value carries ±cancel_floor of roundoff; the true value is
+        # ≤ min(analytic bound, computed + floor)
+        r_comp_sq_eff = jnp.where(
+            terms.r_comp_sq > cancel_floor,
+            terms.r_comp_sq,
+            jnp.minimum(jnp.maximum(terms.r_comp_sq, 0.0) + cancel_floor, r_comp_bound**2),
+        )
+        r_comp = jnp.sqrt(jnp.maximum(r_comp_sq_eff, 0.0))
+        r_norm = jnp.sqrt(jnp.maximum(terms.boundary_sq + r_comp_sq_eff, 0.0))
+        rel = r_norm / b_norm_prod
+
+        status = jnp.where(
+            breakdown,
+            Status.BREAKDOWN,
+            jnp.where(rel < config.tol, Status.CONVERGED, Status.RUNNING),
+        ).astype(jnp.int32)
+
+        # on breakdown the projected solution is untrustworthy → keep previous
+        keep_prev = breakdown
+        weights = jnp.where(keep_prev, c.weights, weights)
+        Y = jnp.where(keep_prev, c.Y, Y)
+
+        return _Carry(
+            state=state,
+            k=k + 1,
+            status=status,
+            weights=weights,
+            Y=Y,
+            rel_res=c.rel_res.at[k].set(rel),
+            r_comp=c.r_comp.at[k].set(r_comp),
+            orth=c.orth.at[k].set(loss),
+            lmin_h=c.lmin_h.at[k].set(lmin),
+            lmax_h=c.lmax_h.at[k].set(lmax),
+            rank_h=c.rank_h.at[k].set(coeffs.rank),
+        )
+
+    def cond(c: _Carry):
+        return (c.k <= config.kmax) & (c.status == Status.RUNNING)
+
+    init = _Carry(
+        state=state0,
+        k=jnp.asarray(1, jnp.int32),
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        weights=jnp.zeros((tmax,), pdt),
+        Y=jnp.zeros((d, K, tmax), pdt),
+        rel_res=jnp.full((K,), jnp.inf, pdt),
+        r_comp=jnp.full((K,), jnp.inf, pdt),
+        orth=jnp.zeros((K,), pdt),
+        lmin_h=jnp.zeros((K,), pdt),
+        lmax_h=jnp.zeros((K,), pdt),
+        rank_h=jnp.zeros((K,), jnp.int32),
+    )
+
+    final = lax.while_loop(cond, body, init)
+
+    niter = final.k - 1
+    status = jnp.where(
+        final.status == Status.RUNNING, Status.MAXITER, final.status
+    ).astype(jnp.int32)
+
+    # lift x_s = V_s[:, :k]^T Y_s → (d, n, t); Y rows ≥ k are already zero
+    x_factors = jnp.einsum(
+        "dkn,dkt->dnt", final.state.V.astype(pdt), final.Y
+    )
+    x = CPTensor(final.weights, x_factors)
+
+    return SolveResult(
+        x=x,
+        status=status,
+        niterations=niter,
+        relative_residual=final.rel_res,
+        projected_residual=final.r_comp,
+        orthogonality=final.orth,
+        lambda_min=final.lmin_h,
+        lambda_max=final.lmax_h,
+        expsum_rank=final.rank_h,
+        config=config,
+    )
+
+
+def solve(
+    op: KroneckerSumOperator,
+    b,
+    config: Optional[SolverConfig] = None,
+    tables: Optional[BHTables] = None,
+) -> SolveResult:
+    """Solve the Kronecker-sum system A x = b (rank-1 RHS b given as (d, n)).
+
+    User-facing analogue of solve_tensorized_system
+    (/root/reference/src/system.jl:65-83) — but returns the solution (the
+    reference discards it) plus full telemetry.
+    """
+    config = config or SolverConfig()
+    b = jnp.asarray(b)
+    if b.ndim != 2 or b.shape[0] != op.d or b.shape[1] != op.n:
+        raise ValueError(f"b must be (d, n) = ({op.d}, {op.n}), got {b.shape}")
+    if config.orth == "arnoldi" and op.symmetric:
+        pass  # allowed: Arnoldi on SPD is valid, just slower
+    if not op.symmetric and config.orth != "arnoldi":
+        raise ValueError("nonsymmetric operators require orth='arnoldi'")
+    if op.symmetric and tables is None:
+        tables = load_tables(dtype=config.proj_dtype)
+    return _solve_jit(op, b, tables, config)
