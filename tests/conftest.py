@@ -1,0 +1,21 @@
+"""Test harness config: CPU backend (forced — env JAX_PLATFORMS is ignored in
+this environment), f64, and 8 virtual devices for sharding tests."""
+import os
+
+_flag = "--xla_force_host_platform_device_count=8"
+_existing = os.environ.get("XLA_FLAGS", "")
+if _flag not in _existing:
+    os.environ["XLA_FLAGS"] = (_existing + " " + _flag).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)

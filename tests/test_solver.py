@@ -1,0 +1,110 @@
+"""End-to-end solver tests with asserted true residuals (the reference's e2e
+test asserts nothing, /root/reference/test/tensor_krylov_method.jl:31-45)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import tensorkrylov_tpu as tk
+from tensorkrylov_tpu.types import SolverConfig, Status
+
+
+def _normalized_rhs(d, n, seed, identical=True):
+    b = tk.random_rhs(d, n, seed=seed, identical=identical)
+    return b / jnp.linalg.norm(b, axis=1, keepdims=True)
+
+
+def test_spd_laplace_e2e():
+    op = tk.laplace(3, 30)
+    b = _normalized_rhs(3, 30, 7)
+    res = tk.solve(op, b, SolverConfig(kmax=30, tol=1e-8))
+    assert int(res.status) == Status.CONVERGED
+    true_r = tk.kron_residual_dense(op, res.x, np.asarray(b))
+    assert true_r < 1e-8
+    # estimate is an upper bound on the truth (within slack)
+    est = float(res.relative_residual[int(res.niterations)])
+    assert est >= true_r * 0.5
+    # monotone-ish decrease over the tail
+    rr = np.asarray(res.relative_residual)[3 : int(res.niterations) + 1]
+    assert rr[-1] < rr[0]
+
+
+def test_nonsym_convdiff_e2e():
+    op = tk.conv_diff(3, 30)
+    b = _normalized_rhs(3, 30, 8)
+    res = tk.solve(op, b, SolverConfig(kmax=30, tol=1e-6, orth="arnoldi", tmax=151))
+    true_r = tk.kron_residual_dense(op, res.x, np.asarray(b))
+    assert true_r < 1e-6, true_r
+
+
+def test_eigval_gallery_e2e():
+    ev = np.linspace(1.0, 50.0, 30)
+    op = tk.eigval_matrix(ev, d=3)
+    b = _normalized_rhs(3, 30, 9)
+    res = tk.solve(op, b, SolverConfig(kmax=30, tol=1e-8))
+    assert int(res.status) == Status.CONVERGED
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-8
+
+
+def test_distinct_factors_and_rhs():
+    """Generalization beyond the reference's identical-factor assumption."""
+    op = tk.rand_spd(2, 24, seed=4)
+    b = _normalized_rhs(2, 24, 10, identical=False)
+    res = tk.solve(op, b, SolverConfig(kmax=24, tol=1e-8))
+    assert int(res.status) == Status.CONVERGED
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-8
+
+
+@pytest.mark.parametrize("source", ["H", "A_minor", "analytic_laplace"])
+def test_spectral_sources_consistent(source):
+    op = tk.laplace(3, 25)
+    b = _normalized_rhs(3, 25, 11)
+    res = tk.solve(op, b, SolverConfig(kmax=25, tol=1e-7, spectral_source=source))
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-7, source
+
+
+def test_identical_factors_fast_path():
+    op = tk.laplace(3, 25)
+    b = _normalized_rhs(3, 25, 12)
+    r1 = tk.solve(op, b, SolverConfig(kmax=25, tol=1e-7))
+    r2 = tk.solve(op, b, SolverConfig(kmax=25, tol=1e-7, identical_factors=True))
+    ni = int(r1.niterations)
+    assert int(r2.niterations) == ni
+    np.testing.assert_allclose(
+        np.asarray(r1.relative_residual[ni]), np.asarray(r2.relative_residual[ni]), rtol=1e-6
+    )
+
+
+def test_plain_lanczos_variant():
+    op = tk.laplace(3, 25)
+    b = _normalized_rhs(3, 25, 13)
+    res = tk.solve(op, b, SolverConfig(kmax=25, tol=1e-7, orth="lanczos"))
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-7
+
+
+def test_reference_selection_modes():
+    """Reference-parity selection semantics still converge (to its floor)."""
+    op = tk.laplace(3, 30)
+    b = _normalized_rhs(3, 30, 14)
+    res = tk.solve(
+        op, b,
+        SolverConfig(kmax=30, tol=1e-6, coeff_tol_scale="reference", bh_row_select="reference"),
+    )
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-4
+
+
+def test_solution_shape_and_lift():
+    op = tk.laplace(2, 20)
+    b = _normalized_rhs(2, 20, 15)
+    res = tk.solve(op, b, SolverConfig(kmax=20, tol=1e-8))
+    x = res.x
+    # lifted factors live in R^n: (d, n, tmax)
+    assert x.factors.shape[0] == 2 and x.factors.shape[1] == op.n
+    assert x.weights.shape[0] == x.factors.shape[2]
+
+
+def test_input_validation():
+    op = tk.laplace(3, 30)
+    with pytest.raises(ValueError):
+        tk.solve(op, jnp.ones((4, 30)))
+    with pytest.raises(ValueError):
+        tk.solve(tk.conv_diff(2, 10), jnp.ones((2, 10)))  # nonsym needs arnoldi
