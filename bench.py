@@ -1,0 +1,125 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Metric: batched factor SpMV throughput (Gnnz/s) on the accelerator — hot
+kernel #1 of the tensorized Krylov solver (the reference's per-factor sparse
+mul!, /root/reference/src/orthogonal_bases.jl:20,45). The reference publishes
+no performance numbers (BASELINE.md), so vs_baseline compares against an
+equivalent banded SpMV on this host's CPU (numpy, memory-bound — a stand-in
+for the reference's single-process CPU execution model).
+
+Extra fields report solver iteration throughput (full pipeline incl. eigh +
+exp-sum + residual, f64) for context.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=50, dtype=None):
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    op = tk.laplace(d, n, dtype=dtype)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((d, n)), dtype)
+
+    from tensorkrylov_tpu.ops.banded import spmv
+
+    f = jax.jit(lambda o, x: spmv(o, x))
+    u = f(op, v).block_until_ready()  # compile
+    # chain applications so the loop is not input-bound
+    def chain(o, x, m):
+        for _ in range(m):
+            x = spmv(o, x)
+        return x
+
+    m = 10
+    g = jax.jit(lambda o, x: chain(o, x, m))
+    g(op, v).block_until_ready()
+    t0 = time.perf_counter()
+    reps = max(iters // m, 1)
+    x = v
+    for _ in range(reps):
+        x = g(op, x)
+    x.block_until_ready()
+    dt = time.perf_counter() - t0
+    napply = reps * m
+    nnz = d * op.nnz_per_factor
+    return nnz * napply / dt / 1e9, nnz
+
+
+def _bench_spmv_cpu_numpy(d=8, n=1 << 20, iters=10):
+    """Host-CPU oracle: same banded SpMV in numpy (float32)."""
+    rng = np.random.default_rng(0)
+    h2 = np.float32((n + 1) ** 2)
+    main = np.full((d, n), 2 * h2, np.float32)
+    off = np.full((d, n - 1), -h2, np.float32)
+    v = rng.standard_normal((d, n)).astype(np.float32)
+
+    def apply(v):
+        u = main * v
+        u[:, :-1] += off * v[:, 1:]
+        u[:, 1:] += off * v[:, :-1]
+        return u
+
+    apply(v)
+    t0 = time.perf_counter()
+    x = v
+    for _ in range(iters):
+        x = apply(x)
+    dt = time.perf_counter() - t0
+    nnz = d * (3 * n - 2)
+    return nnz * iters / dt / 1e9
+
+
+def _bench_solver_iterations(tk, jax, jnp):
+    """Full solver pipeline iterations/sec (d=5 Laplace, f64, kmax=64)."""
+    from tensorkrylov_tpu.types import SolverConfig
+
+    d, n = 5, 4096
+    cfg = SolverConfig(kmax=64, tol=1e-30)  # force kmax iterations
+    op = tk.laplace(d, n)
+    b = tk.random_rhs(d, n, seed=0)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    r = tk.solve(op, b, cfg)  # compile + run
+    int(r.status)
+    t0 = time.perf_counter()
+    r = tk.solve(op, b, cfg)
+    ni = int(r.niterations)
+    dt = time.perf_counter() - t0
+    return ni / dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import tensorkrylov_tpu as tk
+
+    platform = jax.devices()[0].platform
+    gnnz, nnz = _bench_spmv(tk, jnp, jax)
+    cpu_gnnz = _bench_spmv_cpu_numpy()
+    iters_per_s = _bench_solver_iterations(tk, jax, jnp)
+
+    print(
+        json.dumps(
+            {
+                "metric": "factor_spmv_throughput",
+                "value": round(gnnz, 3),
+                "unit": "Gnnz/s",
+                "vs_baseline": round(gnnz / cpu_gnnz, 3),
+                "extra": {
+                    "platform": platform,
+                    "cpu_numpy_gnnz_s": round(cpu_gnnz, 3),
+                    "solver_iters_per_s_f64": round(iters_per_s, 2),
+                    "spmv_config": "d=8 tridiag n=2^20 f32",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

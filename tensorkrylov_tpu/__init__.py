@@ -7,7 +7,7 @@ for JAX/XLA/Pallas; capability reference: thbake/TensorKrylov.jl
 (see SURVEY.md / DESIGN.md at the repo root).
 """
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
-from .solver import solve
+from .solver import solve, solve_multi_rhs
 from .system import TensorizedSystem, random_rhs, solve_tensorized_system
 from .models import gallery
 from .models.gallery import (
@@ -26,6 +26,7 @@ __all__ = [
     "SolverConfig",
     "Status",
     "solve",
+    "solve_multi_rhs",
     "TensorizedSystem",
     "random_rhs",
     "solve_tensorized_system",

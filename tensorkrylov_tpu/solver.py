@@ -201,6 +201,11 @@ def _solve_jit(
             rank_h=c.rank_h.at[k].set(coeffs.rank),
         )
 
+    def body_guarded(c: _Carry) -> _Carry:
+        # freeze finished lanes — makes the loop vmap-safe (batched multi-RHS
+        # solves run until all lanes finish; finished ones must not mutate)
+        return lax.cond(c.status == Status.RUNNING, body, lambda c: c, c)
+
     def cond(c: _Carry):
         return (c.k <= config.kmax) & (c.status == Status.RUNNING)
 
@@ -218,7 +223,7 @@ def _solve_jit(
         rank_h=jnp.zeros((K,), jnp.int32),
     )
 
-    final = lax.while_loop(cond, body, init)
+    final = lax.while_loop(cond, body_guarded, init)
 
     niter = final.k - 1
     status = jnp.where(
@@ -268,3 +273,43 @@ def solve(
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
     return _solve_jit(op, b, tables, config)
+
+
+def solve_multi_rhs(
+    op: KroneckerSumOperator,
+    B,
+    config: Optional[SolverConfig] = None,
+    tables: Optional[BHTables] = None,
+) -> Tuple[CPTensor, SolveResult]:
+    """Solve A x = b for a rank-R tensor-product RHS b = Σ_r ⊗_s B[r, s].
+
+    Capability beyond the reference (its multiple_rhs is a list of separate
+    experiment systems, /root/reference/src/system.jl:13). By linearity the
+    solution is the sum of R rank-1 solves; they are vmapped into one batched
+    kernel (the whole while_loop runs R-way batched; finished lanes freeze).
+
+    Args:
+      B: (R, d, n) — factor vectors of each rank-1 term.
+
+    Returns: (x_total, batched SolveResult). x_total is the combined CP
+    solution of rank Σ_r t_r (weights/factor columns concatenated); the
+    batched result carries per-term telemetry.
+    """
+    config = config or SolverConfig()
+    B = jnp.asarray(B)
+    if B.ndim != 3 or B.shape[1] != op.d or B.shape[2] != op.n:
+        raise ValueError(f"B must be (R, d, n) = (R, {op.d}, {op.n}), got {B.shape}")
+    if not op.symmetric and config.orth != "arnoldi":
+        raise ValueError("nonsymmetric operators require orth='arnoldi'")
+    if op.symmetric and tables is None:
+        tables = load_tables(dtype=config.proj_dtype)
+
+    batched = jax.vmap(lambda rhs: _solve_jit(op, rhs, tables, config))
+    res = batched(B)
+
+    R = B.shape[0]
+    tmax = config.tmax
+    # combine: concatenate CP terms of all rank-1 solves
+    weights = res.x.weights.reshape(R * tmax)
+    factors = jnp.moveaxis(res.x.factors, 0, 2).reshape(op.d, op.n, R * tmax)
+    return CPTensor(weights, factors), res

@@ -1,0 +1,56 @@
+"""Multi-device (8 virtual CPU devices) sharding equivalence tests —
+capability the reference lacks entirely (SURVEY.md §2.14)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tensorkrylov_tpu as tk
+from tensorkrylov_tpu.parallel import make_mesh, solve_sharded, shard_operator, shard_rhs
+from tensorkrylov_tpu.ops.banded import spmv
+from tensorkrylov_tpu.types import SolverConfig, Status
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must set 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_sharded_spmv_matches(mesh8):
+    op = tk.laplace(3, 64)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((3, 64)))
+    ref = np.asarray(spmv(op, v))
+    op_s = shard_operator(op, mesh8)
+    v_s = shard_rhs(v, mesh8)
+    out = np.asarray(jax.jit(spmv, static_argnames=())(op_s, v_s))
+    np.testing.assert_allclose(out, ref, rtol=1e-13)
+
+
+def test_sharded_solve_matches_unsharded(mesh8):
+    op = tk.laplace(3, 32)
+    b = tk.random_rhs(3, 32, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = SolverConfig(kmax=32, tol=1e-8)
+    r_ref = tk.solve(op, b, cfg)
+    r_sh = solve_sharded(op, b, cfg, mesh8)
+    assert int(r_sh.status) == int(r_ref.status)
+    assert int(r_sh.niterations) == int(r_ref.niterations)
+    ni = int(r_ref.niterations)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.relative_residual[:ni+1]),
+        np.asarray(r_ref.relative_residual[:ni+1]),
+        rtol=1e-8, atol=1e-12,
+    )
+    assert tk.kron_residual_dense(op, r_sh.x, np.asarray(b)) < 1e-8
+
+
+def test_factor_parallel_mesh(mesh8):
+    mesh = make_mesh(8, factor_parallel=2)
+    op = tk.laplace(2, 32)
+    b = tk.random_rhs(2, 32, seed=6)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = SolverConfig(kmax=32, tol=1e-7)
+    res = solve_sharded(op, b, cfg, mesh)
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-7

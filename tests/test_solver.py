@@ -108,3 +108,28 @@ def test_input_validation():
         tk.solve(op, jnp.ones((4, 30)))
     with pytest.raises(ValueError):
         tk.solve(tk.conv_diff(2, 10), jnp.ones((2, 10)))  # nonsym needs arnoldi
+
+
+def test_multi_rhs_rank2():
+    """Rank-2 tensor-product RHS via batched solves (capability beyond the
+    reference)."""
+    import tensorkrylov_tpu as tk
+    from tensorkrylov_tpu.solver import solve_multi_rhs
+    from tensorkrylov_tpu.utils.cp import cp_full, kron_matvec_dense
+
+    d, n, R = 3, 20, 2
+    op = tk.laplace(d, n)
+    rng = np.random.default_rng(21)
+    B = rng.standard_normal((R, d, n))
+    x, res = solve_multi_rhs(op, B, SolverConfig(kmax=20, tol=1e-8))
+    assert res.status.shape == (R,)
+    # dense oracle: residual of the combined solution against the summed RHS
+    bfull = 0.0
+    for r in range(R):
+        acc = np.array([1.0])
+        for s in range(d):
+            acc = np.kron(acc, B[r, s])
+        bfull = bfull + acc
+    xfull = cp_full(x)
+    rnorm = np.linalg.norm(kron_matvec_dense(op, xfull) - bfull) / np.linalg.norm(bfull)
+    assert rnorm < 1e-7, rnorm
