@@ -26,27 +26,26 @@ def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=50, dtype=None):
 
     from tensorkrylov_tpu.ops.banded import spmv
 
-    f = jax.jit(lambda o, x: spmv(o, x))
-    u = f(op, v).block_until_ready()  # compile
-    # chain applications so the loop is not input-bound
-    def chain(o, x, m):
-        for _ in range(m):
-            x = spmv(o, x)
-        return x
+    # lax.scan keeps iterations as separate kernel invocations (no
+    # cross-apply stencil fusion) and needs one dispatch through the host
+    # link — an honest repeated-SpMV measurement
+    def many(o, x, m):
+        c = jnp.asarray(1.0 / (4.0 * (n + 1) ** 2), x.dtype)  # ~1/λ_max
 
-    m = 10
-    g = jax.jit(lambda o, x: chain(o, x, m))
-    g(op, v).block_until_ready()
+        def body(xc, _):
+            # constant rescale (fuses into the adds) keeps values finite
+            return spmv(o, xc) * c, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=m)
+        return out
+
+    g = jax.jit(lambda o, x: many(o, x, iters))
+    g(op, v).block_until_ready()  # compile
     t0 = time.perf_counter()
-    reps = max(iters // m, 1)
-    x = v
-    for _ in range(reps):
-        x = g(op, x)
-    x.block_until_ready()
+    g(op, v).block_until_ready()
     dt = time.perf_counter() - t0
-    napply = reps * m
     nnz = d * op.nnz_per_factor
-    return nnz * napply / dt / 1e9, nnz
+    return nnz * iters / dt / 1e9, nnz
 
 
 def _bench_spmv_cpu_numpy(d=8, n=1 << 20, iters=10):

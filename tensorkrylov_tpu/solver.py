@@ -146,6 +146,20 @@ def _solve_jit(
     def body(c: _Carry) -> _Carry:
         k = c.k
         state, loss = step(op, c.state, b, k)
+        # evaluate the projected solve + residual only every check_every
+        # steps (and at the final step) — the Krylov recurrence itself is
+        # much cheaper than the eigh/exp-sum/residual stage
+        do_check = ((k % config.check_every) == 0) | (k >= config.kmax)
+        return lax.cond(
+            do_check,
+            lambda args: _evaluate(*args),
+            lambda args: args[0]._replace(
+                state=args[1], k=args[2] + 1, orth=args[0].orth.at[args[2]].set(args[3])
+            ),
+            (c, state, k, loss),
+        )
+
+    def _evaluate(c: _Carry, state: KrylovState, k, loss) -> _Carry:
         H, btil = state.H, state.btil
 
         lmin, lmax, coeffs, weights, Y, kappa_eff = spectral_and_solve(H, btil, k)
