@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: batched banded (DIA) SpMV.
+
+Single-pass stencil over HBM: each grid step loads one (band-tile, v-tile)
+pair into VMEM and emits one output tile. The v tile is fetched with a
+2·H-element halo by a manually pipelined (double-buffered) DMA — BlockSpecs
+cannot express overlapping windows. Band tiles and output tiles ride the
+automatic Pallas pipeline.
+
+This is hot kernel #1 (the reference's per-factor sparse mul!,
+/root/reference/src/orthogonal_bases.jl:20,45) at single-chip
+speed-of-light: the op is HBM-bandwidth-bound — (nb+2)·4 bytes moved per
+nb nnz.
+
+Requires n % tile == 0 (the caller pads); v is pre-padded with H zeros on
+both sides so edge tiles need no masking (out-of-range band entries are
+stored as zero).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...types import KroneckerSumOperator
+
+__all__ = ["spmv_pallas"]
+
+
+def _kernel(bands_ref, vpad_hbm, out_ref, vbuf, sems, *, offsets, H, TN, n_tiles):
+    di = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    def get_dma(slot, tile):
+        return pltpu.make_async_copy(
+            vpad_hbm.at[di, pl.ds(tile * TN, TN + 2 * H)],
+            vbuf.at[slot],
+            sems.at[slot],
+        )
+
+    cur = ti % 2
+    nxt = (ti + 1) % 2
+
+    # warm-up: first tile of each row starts its own DMA
+    @pl.when(ti == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    # prefetch next tile while we compute this one
+    @pl.when(ti + 1 < n_tiles)
+    def _():
+        get_dma(nxt, ti + 1).start()
+
+    get_dma(cur, ti).wait()
+
+    acc = bands_ref[0, 0, :] * vbuf[cur, H + offsets[0] : H + offsets[0] + TN]
+    for b in range(1, len(offsets)):
+        off = offsets[b]
+        acc += bands_ref[0, b, :] * vbuf[cur, H + off : H + off + TN]
+    out_ref[0, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "tile"))
+def _spmv_pallas(bands, v, offsets: Tuple[int, ...], tile: int):
+    d, nb, n = bands.shape
+    H = max((abs(o) for o in offsets), default=0)
+    n_tiles = n // tile
+    vpad = jnp.pad(v, ((0, 0), (H, H)))
+
+    kernel = functools.partial(
+        _kernel, offsets=offsets, H=H, TN=tile, n_tiles=n_tiles
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(d, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, nb, tile), lambda di, ti: (di, 0, ti), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda di, ti: (di, ti), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, n), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile + 2 * H), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(bands, vpad)
+
+
+def spmv_pallas(op: KroneckerSumOperator, v: jax.Array, tile: int = 8 * 1024) -> jax.Array:
+    """Pallas-kernel SpMV; falls back shape requirements to the jnp path.
+
+    v: (d, n). For (d, m, n) block vectors use ops.banded.spmv (the XLA path
+    handles those well already).
+    """
+    n = op.n
+    if v.ndim != 2 or n % tile != 0:
+        from ..banded import spmv as spmv_jnp
+
+        return spmv_jnp(op, v)
+    return _spmv_pallas(op.bands, v, op.offsets, tile)

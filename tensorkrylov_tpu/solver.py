@@ -59,13 +59,14 @@ def _step_fn(config: SolverConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _solve_jit(
+def _setup(
     op: KroneckerSumOperator,
     b: jax.Array,
     tables: Optional[BHTables],
     config: SolverConfig,
-) -> SolveResult:
+):
+    """Build (initial carry, guarded loop body) for this problem. Shared by
+    the single-shot jitted solve and the resumable segment driver."""
     d, n = b.shape
     K = config.kmax + 1
     tmax = config.tmax
@@ -220,9 +221,6 @@ def _solve_jit(
         # solves run until all lanes finish; finished ones must not mutate)
         return lax.cond(c.status == Status.RUNNING, body, lambda c: c, c)
 
-    def cond(c: _Carry):
-        return (c.k <= config.kmax) & (c.status == Status.RUNNING)
-
     init = _Carry(
         state=state0,
         k=jnp.asarray(1, jnp.int32),
@@ -237,8 +235,11 @@ def _solve_jit(
         rank_h=jnp.zeros((K,), jnp.int32),
     )
 
-    final = lax.while_loop(cond, body_guarded, init)
+    return init, body_guarded
 
+
+def _finalize(final: _Carry, config: SolverConfig) -> SolveResult:
+    pdt = config.proj_dtype
     niter = final.k - 1
     status = jnp.where(
         final.status == Status.RUNNING, Status.MAXITER, final.status
@@ -264,6 +265,43 @@ def _solve_jit(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_jit(
+    op: KroneckerSumOperator,
+    b: jax.Array,
+    tables: Optional[BHTables],
+    config: SolverConfig,
+) -> SolveResult:
+    init, body = _setup(op, b, tables, config)
+
+    def cond(c: _Carry):
+        return (c.k <= config.kmax) & (c.status == Status.RUNNING)
+
+    final = lax.while_loop(cond, body, init)
+    return _finalize(final, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _init_carry_jit(op, b, tables, config) -> _Carry:
+    init, _ = _setup(op, b, tables, config)
+    return init
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _segment_jit(op, b, tables, config, carry: _Carry, k_end) -> _Carry:
+    _, body = _setup(op, b, tables, config)
+
+    def cond(c: _Carry):
+        return (c.k <= jnp.minimum(k_end, config.kmax)) & (c.status == Status.RUNNING)
+
+    return lax.while_loop(cond, body, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _finalize_jit(carry: _Carry, config) -> SolveResult:
+    return _finalize(carry, config)
+
+
 def solve(
     op: KroneckerSumOperator,
     b,
@@ -287,6 +325,44 @@ def solve(
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
     return _solve_jit(op, b, tables, config)
+
+
+def solve_resumable(
+    op: KroneckerSumOperator,
+    b,
+    config: Optional[SolverConfig] = None,
+    tables: Optional[BHTables] = None,
+    chunk: int = 32,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
+) -> SolveResult:
+    """Segmented solve with optional on-disk checkpointing.
+
+    Runs the same jitted loop in `chunk`-iteration segments, persisting the
+    full solver carry (bases, projected matrices, histories) between
+    segments. The reference has no solver checkpointing (SURVEY.md §5);
+    state here is a flat pytree of arrays, so save/restore is exact — a
+    resumed solve continues bit-for-bit.
+    """
+    from .utils.checkpoint import load_carry, save_carry
+
+    config = config or SolverConfig()
+    b = jnp.asarray(b)
+    if op.symmetric and tables is None:
+        tables = load_tables(dtype=config.proj_dtype)
+
+    carry = _init_carry_jit(op, b, tables, config)
+    if resume and checkpoint_path:
+        carry = load_carry(checkpoint_path, carry)
+
+    while int(carry.k) <= config.kmax and int(carry.status) == Status.RUNNING:
+        k_end = jnp.asarray(int(carry.k) + chunk - 1, jnp.int32)
+        carry = _segment_jit(op, b, tables, config, carry, k_end)
+        jax.block_until_ready(carry)
+        if checkpoint_path:
+            save_carry(checkpoint_path, carry)
+
+    return _finalize_jit(carry, config)
 
 
 def solve_multi_rhs(

@@ -133,3 +133,37 @@ def test_multi_rhs_rank2():
     xfull = cp_full(x)
     rnorm = np.linalg.norm(kron_matvec_dense(op, xfull) - bfull) / np.linalg.norm(bfull)
     assert rnorm < 1e-7, rnorm
+
+
+def test_resumable_matches_and_resumes(tmp_path):
+    """Segmented+checkpointed solve must match the single-shot solve exactly,
+    and resuming from disk must continue bit-for-bit."""
+    from tensorkrylov_tpu.solver import solve_resumable
+
+    op = tk.laplace(3, 30)
+    b = _normalized_rhs(3, 30, 17)
+    cfg = SolverConfig(kmax=30, tol=1e-8)
+    ref = tk.solve(op, b, cfg)
+    ckpt = str(tmp_path / "carry.npz")
+
+    seg = solve_resumable(op, b, cfg, chunk=7, checkpoint_path=ckpt)
+    ni = int(ref.niterations)
+    assert int(seg.niterations) == ni
+    np.testing.assert_array_equal(
+        np.asarray(seg.relative_residual), np.asarray(ref.relative_residual)
+    )
+
+    # simulate a crash mid-solve: run 2 chunks only, then resume from disk
+    from tensorkrylov_tpu.solver import _init_carry_jit, _segment_jit, _finalize_jit
+    from tensorkrylov_tpu.coeffs.tables import load_tables
+    import jax.numpy as jnp
+    tables = load_tables()
+    carry = _init_carry_jit(op, b, tables, cfg)
+    carry = _segment_jit(op, b, tables, cfg, carry, jnp.asarray(14, jnp.int32))
+    from tensorkrylov_tpu.utils.checkpoint import save_carry
+    save_carry(ckpt, carry)
+    resumed = solve_resumable(op, b, cfg, checkpoint_path=ckpt, resume=True, chunk=9)
+    assert int(resumed.niterations) == ni
+    np.testing.assert_array_equal(
+        np.asarray(resumed.relative_residual), np.asarray(ref.relative_residual)
+    )
