@@ -25,7 +25,15 @@ from jax import lax
 from ..types import KroneckerSumOperator
 from .banded import spmv
 
-__all__ = ["KrylovState", "init_state", "lanczos_step", "arnoldi_step", "orthogonality_loss"]
+__all__ = [
+    "KrylovState",
+    "init_state",
+    "lanczos_step",
+    "arnoldi_step",
+    "orthogonality_loss",
+    "lanczos_algorithm",
+    "arnoldi_algorithm",
+]
 
 
 class KrylovState(NamedTuple):
@@ -182,6 +190,39 @@ def _set_vec_entry(btil, j, vals):
     zero = jnp.zeros((), jnp.int32)
     j = jnp.asarray(j, jnp.int32)
     return lax.dynamic_update_slice(btil, vals.astype(btil.dtype)[:, None], (zero, j))
+
+
+def _batch_algorithm(op, b, k, stepper, proj_dtype):
+    b = jnp.asarray(b)
+    if b.ndim == 1:
+        b = b[None, :]
+    state, _ = init_state(op, b, k, proj_dtype)
+
+    def body(j, st):
+        st2, _ = stepper(op, st, b, j)
+        return st2
+
+    return lax.fori_loop(1, k + 1, body, state)
+
+
+def lanczos_algorithm(op: KroneckerSumOperator, b, k: int, *, reorth: bool = False, proj_dtype=jnp.float64) -> KrylovState:
+    """Run k Lanczos steps for every factor; standalone driver (analogue of
+    /root/reference/src/orthogonal_bases.jl:199-229). b: (d, n) or (n,)."""
+    return _batch_algorithm(
+        op, b, k,
+        lambda o, st, bb, j: lanczos_step(o, st, bb, j, reorth=reorth, proj_dtype=proj_dtype),
+        proj_dtype,
+    )
+
+
+def arnoldi_algorithm(op: KroneckerSumOperator, b, k: int, *, proj_dtype=jnp.float64) -> KrylovState:
+    """Run k Arnoldi (CGS2) steps for every factor; standalone driver
+    (analogue of /root/reference/src/orthogonal_bases.jl:182-197)."""
+    return _batch_algorithm(
+        op, b, k,
+        lambda o, st, bb, j: arnoldi_step(o, st, bb, j, proj_dtype=proj_dtype),
+        proj_dtype,
+    )
 
 
 def orthogonality_loss(V: jax.Array, k, proj_dtype=jnp.float64) -> jax.Array:

@@ -217,3 +217,23 @@ def test_cp_solve_nonsym_columns():
         for j in range(t):
             oracle = scipy.linalg.expm(-(alpha[j] / 1.8) * H[s, :k, :k]) @ btil[s, :k]
             np.testing.assert_allclose(Y[s, :k, j], oracle, atol=1e-9)
+
+
+def test_standalone_algorithm_drivers():
+    """Single-matrix batch drivers (reference test/decompositions.jl:4-19
+    pattern: long single-factor recurrences stay orthonormal)."""
+    from tensorkrylov_tpu.ops.orth import lanczos_algorithm, arnoldi_algorithm
+
+    n, k = 300, 120
+    op = tk.laplace(1, n)
+    rng = np.random.default_rng(10)
+    b = rng.standard_normal(n)
+    st = lanczos_algorithm(op, b, k, reorth=True)
+    assert float(orthogonality_loss(st.V, k + 1)) < 1e-8
+    # Jacobi matrix is SPD (reference asserts isposdef(H))
+    H = np.asarray(st.H)[0, :k, :k]
+    assert np.all(np.linalg.eigvalsh((H + H.T) / 2) > 0)
+
+    op2 = tk.conv_diff(1, n)
+    st2 = arnoldi_algorithm(op2, b, k)
+    assert float(orthogonality_loss(st2.V, k + 1)) < 1e-8
