@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=50, dtype=None):
+def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=200, dtype=None):
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -39,34 +39,44 @@ def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=50, dtype=None):
         out, _ = jax.lax.scan(body, x, None, length=m)
         return out
 
-    g = jax.jit(lambda o, x: many(o, x, iters))
-    g(op, v).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    g(op, v).block_until_ready()
-    dt = time.perf_counter() - t0
+    # two-point measurement removes fixed dispatch/launch overhead (which is
+    # large through a remote-device link): throughput from the m2−m1 slope
+    m1, m2 = iters, 4 * iters
+
+    def timed(m):
+        g = jax.jit(lambda o, x: many(o, x, m))
+        g(op, v).block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            g(op, v).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt1, dt2 = timed(m1), timed(m2)
     nnz = d * op.nnz_per_factor
-    return nnz * iters / dt / 1e9, nnz
+    return nnz * (m2 - m1) / max(dt2 - dt1, 1e-9) / 1e9, nnz
 
 
-def _bench_spmv_cpu_numpy(d=8, n=1 << 20, iters=10):
-    """Host-CPU oracle: same banded SpMV in numpy (float32)."""
+def _bench_spmv_cpu(d=8, n=1 << 20, iters=10):
+    """Host-CPU baseline: the native (C++, multithreaded) banded SpMV from
+    csrc/tkcore.cpp — a stand-in for the reference's single-process CPU
+    sparse mul!. Falls back to numpy if the toolchain is absent."""
+    from tensorkrylov_tpu import native
+
     rng = np.random.default_rng(0)
     h2 = np.float32((n + 1) ** 2)
-    main = np.full((d, n), 2 * h2, np.float32)
-    off = np.full((d, n - 1), -h2, np.float32)
+    bands = np.zeros((d, 3, n), np.float32)
+    bands[:, 0, 1:] = -h2
+    bands[:, 1, :] = 2 * h2
+    bands[:, 2, :-1] = -h2
     v = rng.standard_normal((d, n)).astype(np.float32)
 
-    def apply(v):
-        u = main * v
-        u[:, :-1] += off * v[:, 1:]
-        u[:, 1:] += off * v[:, :-1]
-        return u
-
-    apply(v)
+    native.banded_spmv(bands, (-1, 0, 1), v)  # warm up / build
     t0 = time.perf_counter()
     x = v
     for _ in range(iters):
-        x = apply(x)
+        x = native.banded_spmv(bands, (-1, 0, 1), x)
     dt = time.perf_counter() - t0
     nnz = d * (3 * n - 2)
     return nnz * iters / dt / 1e9
@@ -99,7 +109,7 @@ def main():
 
     platform = jax.devices()[0].platform
     gnnz, nnz = _bench_spmv(tk, jnp, jax)
-    cpu_gnnz = _bench_spmv_cpu_numpy()
+    cpu_gnnz = _bench_spmv_cpu()
     iters_per_s = _bench_solver_iterations(tk, jax, jnp)
 
     print(

@@ -30,13 +30,16 @@ from ...types import KroneckerSumOperator
 __all__ = ["spmv_pallas"]
 
 
-def _kernel(bands_ref, vpad_hbm, out_ref, vbuf, sems, *, offsets, H, TN, n_tiles):
-    di = pl.program_id(0)
-    ti = pl.program_id(1)
+_HPAD = 128  # halo padding rounded to the lane tiling (DMA sizes must be 128-aligned)
+
+
+def _kernel(bands_ref, vpad_hbm, out_ref, vbuf, sems, *, offsets, TN, n_tiles):
+    # one grid step = one tile of ALL d factor rows (d rides the sublane dim)
+    ti = pl.program_id(0)
 
     def get_dma(slot, tile):
         return pltpu.make_async_copy(
-            vpad_hbm.at[di, pl.ds(tile * TN, TN + 2 * H)],
+            vpad_hbm.at[:, pl.ds(tile * TN, TN + 2 * _HPAD)],
             vbuf.at[slot],
             sems.at[slot],
         )
@@ -44,46 +47,43 @@ def _kernel(bands_ref, vpad_hbm, out_ref, vbuf, sems, *, offsets, H, TN, n_tiles
     cur = ti % 2
     nxt = (ti + 1) % 2
 
-    # warm-up: first tile of each row starts its own DMA
     @pl.when(ti == 0)
     def _():
         get_dma(0, 0).start()
 
-    # prefetch next tile while we compute this one
+    # prefetch next tile's v while computing this one
     @pl.when(ti + 1 < n_tiles)
     def _():
         get_dma(nxt, ti + 1).start()
 
     get_dma(cur, ti).wait()
 
-    acc = bands_ref[0, 0, :] * vbuf[cur, H + offsets[0] : H + offsets[0] + TN]
-    for b in range(1, len(offsets)):
-        off = offsets[b]
-        acc += bands_ref[0, b, :] * vbuf[cur, H + off : H + off + TN]
-    out_ref[0, :] = acc
+    acc = None
+    for b, off in enumerate(offsets):
+        shifted = vbuf[cur, :, _HPAD + off : _HPAD + off + TN]
+        term = bands_ref[:, b, :] * shifted
+        acc = term if acc is None else acc + term
+    out_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "tile"))
 def _spmv_pallas(bands, v, offsets: Tuple[int, ...], tile: int):
     d, nb, n = bands.shape
-    H = max((abs(o) for o in offsets), default=0)
     n_tiles = n // tile
-    vpad = jnp.pad(v, ((0, 0), (H, H)))
+    vpad = jnp.pad(v, ((0, 0), (_HPAD, _HPAD)))
 
-    kernel = functools.partial(
-        _kernel, offsets=offsets, H=H, TN=tile, n_tiles=n_tiles
-    )
+    kernel = functools.partial(_kernel, offsets=offsets, TN=tile, n_tiles=n_tiles)
     return pl.pallas_call(
         kernel,
-        grid=(d, n_tiles),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, nb, tile), lambda di, ti: (di, 0, ti), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, nb, tile), lambda ti: (0, 0, ti), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda di, ti: (di, ti), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((d, tile), lambda ti: (0, ti), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, n), v.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * H), v.dtype),
+            pltpu.VMEM((2, d, tile + 2 * _HPAD), v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(bands, vpad)
