@@ -1,0 +1,100 @@
+"""Explicit shard_map banded SpMV with ppermute halo exchange.
+
+GSPMD (parallel/sharding.py) already parallelizes the solver by propagating
+named shardings; this module is the explicit-control path for the mode axis:
+each device owns a contiguous slice of every factor's length-n axis, sends
+its H-deep edges to its neighbours with `lax.ppermute` (rides ICI), and
+computes the banded SpMV locally with the received halos. Halo volume is
+H·d elements per neighbour (H = bandwidth ≤ 2 for the gallery), so the
+exchange is latency-, not bandwidth-, bound — the design target for ≥80%
+multi-host scaling (BASELINE.json config 5).
+
+Layout contract: arrays are sharded on their LAST axis over `axis_name`,
+n % n_devices == 0, and shard width ≥ H.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..types import KroneckerSumOperator
+
+__all__ = ["spmv_halo_local", "spmv_halo", "make_halo_spmv"]
+
+
+def _exchange_halos(v: jax.Array, H: int, axis_name: str):
+    """Returns (left_halo, right_halo): the H last columns of the left
+    neighbour and H first columns of the right neighbour (zeros at the
+    chain ends)."""
+    p = lax.axis_index(axis_name)
+    np_ = lax.axis_size(axis_name)
+    right_edge = v[..., -H:]
+    left_edge = v[..., :H]
+    # send my right edge to my right neighbour → arrives as its left halo
+    left_halo = lax.ppermute(
+        right_edge, axis_name, [(i, i + 1) for i in range(np_ - 1)]
+    )
+    # send my left edge to my left neighbour → arrives as its right halo
+    right_halo = lax.ppermute(
+        left_edge, axis_name, [(i + 1, i) for i in range(np_ - 1)]
+    )
+    left_halo = jnp.where(p == 0, jnp.zeros_like(left_halo), left_halo)
+    right_halo = jnp.where(p == np_ - 1, jnp.zeros_like(right_halo), right_halo)
+    return left_halo, right_halo
+
+
+def spmv_halo_local(bands: jax.Array, offsets: Tuple[int, ...], v: jax.Array, axis_name: str):
+    """Per-shard body: batched DIA SpMV on the local slice with halo
+    exchange. bands (d, nb, n_local), v (d, n_local)."""
+    H = max((abs(o) for o in offsets), default=0)
+    if H == 0:
+        return bands[:, 0, :] * v if bands.shape[1] == 1 else _local_apply(bands, offsets, v)
+    left_halo, right_halo = _exchange_halos(v, H, axis_name)
+    vext = jnp.concatenate([left_halo, v, right_halo], axis=-1)
+    n_local = v.shape[-1]
+    u = None
+    for b, off in enumerate(offsets):
+        # global column index i+off ↦ vext position H + i + off
+        sl = lax.slice_in_dim(vext, H + off, H + off + n_local, axis=-1)
+        term = bands[:, b, :] * sl
+        u = term if u is None else u + term
+    return u
+
+
+def _local_apply(bands, offsets, v):
+    from ..ops.banded import spmv as _spmv
+    from ..types import KroneckerSumOperator as _Op
+
+    return _spmv(_Op(bands, offsets, True), v)
+
+
+def make_halo_spmv(mesh: Mesh, offsets: Tuple[int, ...], axis_name: str = "mode"):
+    """Build a jitted shard_map SpMV over `mesh` for fixed band offsets.
+
+    Returned fn(bands (d, nb, n), v (d, n)) → (d, n), all sharded on the
+    last axis over `axis_name` (other mesh axes replicate).
+    """
+    spec_b = P(None, None, axis_name)
+    spec_v = P(None, axis_name)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec_b, spec_v),
+        out_specs=spec_v,
+    )
+    def fn(bands, v):
+        return spmv_halo_local(bands, offsets, v, axis_name)
+
+    return fn
+
+
+def spmv_halo(op: KroneckerSumOperator, v: jax.Array, mesh: Mesh, axis_name: str = "mode"):
+    """One-shot convenience wrapper around make_halo_spmv."""
+    return make_halo_spmv(mesh, op.offsets, axis_name)(op.bands, v)

@@ -54,3 +54,19 @@ def test_factor_parallel_mesh(mesh8):
     cfg = SolverConfig(kmax=32, tol=1e-7)
     res = solve_sharded(op, b, cfg, mesh)
     assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-7
+
+
+def test_halo_spmv_matches(mesh8):
+    """Explicit shard_map + ppermute halo SpMV == single-device SpMV."""
+    from tensorkrylov_tpu.parallel.halo import make_halo_spmv
+
+    op = tk.conv_diff(3, 64)  # bandwidth 2 upper — nontrivial halos
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal((3, 64)))
+    ref = np.asarray(spmv(op, v))
+    # use a 1D mode-only mesh view
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("factor", "mode"))
+    fn = make_halo_spmv(mesh, op.offsets)
+    out = np.asarray(fn(op.bands, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
