@@ -42,7 +42,11 @@ def run_reproduction(
     for d in dims:
         if symmetric:
             op = laplace(d, n)
-            cfg = SolverConfig(kmax=nmax, tol=tol, orth="lanczos_reorth")
+            # identical factors + identical RHS (the reference's setup,
+            # /root/reference/src/system.jl:5-11) → shared-eigh fast path
+            cfg = SolverConfig(
+                kmax=nmax, tol=tol, orth="lanczos_reorth", identical_factors=True
+            )
         else:
             op = conv_diff(d, n)
             cfg = SolverConfig(kmax=nmax, tol=tol, orth="arnoldi", tmax=201)

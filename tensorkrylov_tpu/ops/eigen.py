@@ -108,6 +108,22 @@ def analytic_laplace_extremes(d: int, n: int, k, dtype=jnp.float64) -> Tuple[jax
     return lam_min, lam_max
 
 
+def laplace_eigenvector(n: int, j: int, dtype=jnp.float64) -> jax.Array:
+    """Analytic (unit-norm) eigenvector j (1-based) of the n×n Dirichlet
+    Laplacian minor: v_j(i) ∝ sin(i·j·π/(n+1))
+    (/root/reference/src/eigenvalues.jl:226-244)."""
+    i = jnp.arange(1, n + 1, dtype=dtype)
+    v = jnp.sin(i * j * jnp.pi / (n + 1))
+    return v / jnp.linalg.norm(v)
+
+
+def laplace_eigenspace(n: int, dtype=jnp.float64) -> jax.Array:
+    """(n, n) matrix whose columns are the analytic Laplacian eigenvectors."""
+    i = jnp.arange(1, n + 1, dtype=dtype)
+    V = jnp.sin(jnp.outer(i, i) * jnp.pi / (n + 1))
+    return V / jnp.linalg.norm(V, axis=0, keepdims=True)
+
+
 def bendixson_lambda_min(W: jax.Array, k) -> jax.Array:
     """Lower bound on min Re λ of the active minors via the symmetric part
     (Bendixson). Jit-compatible replacement for the reference's host

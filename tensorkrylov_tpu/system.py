@@ -17,7 +17,7 @@ import numpy as np
 from .solver import solve
 from .types import KroneckerSumOperator, SolveResult, SolverConfig
 
-__all__ = ["random_rhs", "TensorizedSystem", "solve_tensorized_system"]
+__all__ = ["random_rhs", "multiple_rhs", "TensorizedSystem", "solve_tensorized_system"]
 
 
 def random_rhs(d: int, n: int, seed: int = 0, identical: bool = True, dtype=jnp.float64):
@@ -32,6 +32,12 @@ def random_rhs(d: int, n: int, seed: int = 0, identical: bool = True, dtype=jnp.
     else:
         b = rng.random((d, n))
     return jnp.asarray(b, dtype)
+
+
+def multiple_rhs(dims, n: int, seed: int = 0, dtype=jnp.float64):
+    """One random rank-1 RHS per problem dimension d in dims — the
+    experiment-sweep helper (/root/reference/src/system.jl:13)."""
+    return [random_rhs(d, n, seed=seed, dtype=dtype) for d in dims]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -237,3 +237,19 @@ def test_standalone_algorithm_drivers():
     op2 = tk.conv_diff(1, n)
     st2 = arnoldi_algorithm(op2, b, k)
     assert float(orthogonality_loss(st2.V, k + 1)) < 1e-8
+
+
+def test_laplace_eigenvectors_analytic():
+    from tensorkrylov_tpu.ops.eigen import laplace_eigenvector, laplace_eigenspace
+
+    n = 20
+    op = tk.laplace(1, n)
+    A = np.asarray(bands_to_dense(op))[0]
+    w, Q = np.linalg.eigh(A)
+    V = np.asarray(laplace_eigenspace(n))
+    # columns diagonalize A
+    D = V.T @ A @ V
+    np.testing.assert_allclose(D - np.diag(np.diag(D)), 0.0, atol=1e-6)
+    v3 = np.asarray(laplace_eigenvector(n, 3))
+    resid = A @ v3 - (np.sort(np.diag(D))[2]) * v3
+    assert np.linalg.norm(resid) < 1e-6
