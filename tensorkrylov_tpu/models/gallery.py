@@ -23,6 +23,7 @@ __all__ = [
     "dense_to_bands",
     "bands_to_dense",
     "operator_from_dense_factors",
+    "operator_from_scipy",
 ]
 
 
@@ -156,3 +157,28 @@ def bands_to_dense(op: KroneckerSumOperator) -> np.ndarray:
 def operator_from_dense_factors(mats, symmetric: bool, dtype=jnp.float64) -> KroneckerSumOperator:
     bands, offsets = dense_to_bands(np.asarray(mats, dtype=np.float64))
     return KroneckerSumOperator(jnp.asarray(bands, dtype=dtype), offsets, symmetric)
+
+
+def operator_from_scipy(factors, symmetric: bool, dtype=jnp.float64) -> KroneckerSumOperator:
+    """Build the operator from a list of scipy.sparse factor matrices
+    (interoperability path for users coming from sparse ecosystems —
+    the reference consumes SparseArrays matrices directly)."""
+    import scipy.sparse as sp
+
+    mats = [sp.dia_matrix(A) for A in factors]
+    n = mats[0].shape[0]
+    offsets = sorted({int(o) for A in mats for o in A.offsets})
+    bands = np.zeros((len(mats), len(offsets), n))
+    for s, A in enumerate(mats):
+        dense_diags = {int(o): A.data[i] for i, o in enumerate(A.offsets)}
+        for b, off in enumerate(offsets):
+            if off not in dense_diags:
+                continue
+            row = dense_diags[off]
+            # scipy DIA stores data[k, j] = A[j - off, j]: column-indexed
+            length = n - abs(off)
+            if off >= 0:
+                bands[s, b, :length] = row[off : off + length]
+            else:
+                bands[s, b, -off:] = row[: length]
+    return KroneckerSumOperator(jnp.asarray(bands, dtype=dtype), tuple(offsets), symmetric)

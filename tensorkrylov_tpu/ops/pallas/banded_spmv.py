@@ -96,7 +96,8 @@ def spmv_pallas(op: KroneckerSumOperator, v: jax.Array, tile: int = 8 * 1024) ->
     handles those well already).
     """
     n = op.n
-    if v.ndim != 2 or n % tile != 0:
+    H = max((abs(o) for o in op.offsets), default=0)
+    if v.ndim != 2 or n % tile != 0 or H > _HPAD:
         from ..banded import spmv as spmv_jnp
 
         return spmv_jnp(op, v)

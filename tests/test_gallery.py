@@ -74,3 +74,15 @@ def test_dense_to_bands_roundtrip(rng):
     bands, offsets = dense_to_bands(A)
     op = tk.KroneckerSumOperator(jnp.asarray(bands), offsets, symmetric=False)
     np.testing.assert_allclose(bands_to_dense(op), A, rtol=1e-15)
+
+
+def test_operator_from_scipy():
+    import scipy.sparse as sp
+    from tensorkrylov_tpu.models.gallery import operator_from_scipy
+
+    rng = np.random.default_rng(11)
+    n = 15
+    dense = rng.standard_normal((2, n, n))
+    dense[:, np.abs(np.subtract.outer(np.arange(n), np.arange(n))) > 2] = 0.0
+    op = operator_from_scipy([sp.csr_matrix(dense[s]) for s in range(2)], symmetric=False)
+    np.testing.assert_allclose(bands_to_dense(op), dense, rtol=1e-14)

@@ -167,3 +167,19 @@ def test_resumable_matches_and_resumes(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(resumed.relative_residual), np.asarray(ref.relative_residual)
     )
+
+
+def test_check_every_cadence():
+    """Sparse residual checking reaches the same converged answer."""
+    op = tk.laplace(3, 30)
+    b = _normalized_rhs(3, 30, 18)
+    r1 = tk.solve(op, b, SolverConfig(kmax=30, tol=1e-8, check_every=1))
+    r5 = tk.solve(op, b, SolverConfig(kmax=30, tol=1e-8, check_every=5))
+    assert int(r5.status) == int(r1.status) == Status.CONVERGED
+    assert tk.kron_residual_dense(op, r5.x, np.asarray(b)) < 1e-8
+    # checked iterations agree where both evaluated
+    rr1 = np.asarray(r1.relative_residual)
+    rr5 = np.asarray(r5.relative_residual)
+    for k in range(5, int(r5.niterations) + 1, 5):
+        if np.isfinite(rr5[k]):
+            np.testing.assert_allclose(rr5[k], rr1[k], rtol=1e-9)
