@@ -45,9 +45,12 @@ def summarize(result: SolveResult, every: int = 10) -> str:
         f"{'k':>5} {'rel.residual':>13} {'proj.residual':>13} {'orth.loss':>10} "
         f"{'λ_min':>10} {'λ_max':>10} {'t':>4}",
     ]
-    idx = list(range(0, ni, every))
-    if ni - 1 not in idx:
-        idx.append(ni - 1)
+    finite = np.nonzero(np.isfinite(t["relative_residual"]))[0]
+    pool = finite if finite.size else np.arange(ni)
+    stride = max(len(pool) // max(ni // every, 1), 1)
+    idx = list(pool[::stride])
+    if pool.size and pool[-1] not in idx:
+        idx.append(pool[-1])
     for i in idx:
         lines.append(
             f"{int(t['iterations'][i]):>5} {t['relative_residual'][i]:>13.3e} "
