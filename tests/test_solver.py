@@ -183,3 +183,12 @@ def test_check_every_cadence():
     for k in range(5, int(r5.niterations) + 1, 5):
         if np.isfinite(rr5[k]):
             np.testing.assert_allclose(rr5[k], rr1[k], rtol=1e-9)
+
+
+def test_single_mode_d1():
+    """d=1 degenerates to ordinary CG-like Lanczos solve — must still work."""
+    op = tk.laplace(1, 40)
+    b = _normalized_rhs(1, 40, 19)
+    res = tk.solve(op, b, SolverConfig(kmax=40, tol=1e-8))
+    assert int(res.status) == Status.CONVERGED
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-8
