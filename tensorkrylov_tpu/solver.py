@@ -19,6 +19,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .coeffs.tables import BHTables, ExpSumCoeffs, load_tables, select_bh, select_stenger
@@ -59,6 +60,116 @@ def _step_fn(config: SolverConfig):
     )
 
 
+class ProjectedEval(NamedTuple):
+    """Result of one projected-stage evaluation (pure function of (H, b̃, k))."""
+
+    weights: jax.Array   # (tmax,)
+    Y: jax.Array         # (d, K, tmax)
+    rel: jax.Array       # certified relative residual
+    r_comp: jax.Array    # compressed residual (after floor/bound handling)
+    lmin: jax.Array
+    lmax: jax.Array
+    rank: jax.Array      # int32 exp-sum term count
+    breakdown: jax.Array # bool
+
+
+def projected_step(
+    H: jax.Array,
+    btil: jax.Array,
+    subdiag: jax.Array,
+    k,
+    b_norm_prod: jax.Array,
+    config: SolverConfig,
+    tables: Optional[BHTables],
+    symmetric: bool,
+    n: int,
+    W_A: Optional[jax.Array] = None,
+) -> ProjectedEval:
+    """Spectral estimation → exp-sum coefficient selection → CP solve →
+    Lemma-3.4 residual. Pure jnp: runs traced inside the device while_loop
+    AND eagerly on the host CPU backend (host_projected mode) — single source
+    of truth for the projected stage."""
+    d, K, _ = H.shape
+    tmax = config.tmax
+    pdt = config.proj_dtype
+    eig_d = 1 if config.identical_factors else d
+
+    if symmetric:
+        src = H[:eig_d] if config.spectral_source != "A_minor" else W_A[:eig_d]
+        w, Q = masked_eigh(src, k)
+        if config.identical_factors:
+            w = jnp.broadcast_to(w, (d, K))
+            Q = jnp.broadcast_to(Q, (d, K, K))
+        if config.spectral_source == "analytic_laplace":
+            lmin, lmax = analytic_laplace_extremes(d, n, jnp.asarray(k, pdt), pdt)
+        else:
+            lmin, lmax = sym_extremes_from_eigs(w)
+        if config.spectral_source == "A_minor":
+            # spectra estimated from A minors, but the exp solve still
+            # diagonalizes H itself
+            wh, Qh = masked_eigh(H[:eig_d], k)
+            if config.identical_factors:
+                wh = jnp.broadcast_to(wh, (d, K))
+                Qh = jnp.broadcast_to(Qh, (d, K, K))
+        else:
+            wh, Qh = w, Q
+        kappa = lmax / lmin
+        coeff_tol = config.tol / kappa if config.coeff_tol_scale == "kappa" else config.tol
+        coeffs = select_bh(kappa, coeff_tol, tables, tmax, config.bh_row_select)
+        if tmax > 63:
+            # hybrid: when the optimal BH tables can't reach the ε target,
+            # fall back to the (longer) closed-form sinc rule — achievable
+            # accuracy beyond the reference's table-bound floor
+            st = select_stenger(coeff_tol, tmax, pdt)
+            use_st = (coeffs.err > coeff_tol) & (st.err < coeffs.err)
+            coeffs = jax.tree.map(lambda a, b: jnp.where(use_st, a, b), st, coeffs)
+        weights, Y = cp_solve_sym(
+            wh, Qh, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
+        )
+        kappa_eff = kappa
+    else:
+        # Bendixson bound via the symmetric part of the H minors
+        Hs = 0.5 * (H + jnp.swapaxes(H, 1, 2))
+        w, _ = masked_eigh(Hs[:eig_d], k)
+        if config.identical_factors:
+            w = jnp.broadcast_to(w, (d, K))
+        lmin, lmax = sym_extremes_from_eigs(w)
+        # ε target: 'kappa' certifies the residual (ε·κ ≤ tol, with the
+        # Gershgorin row bound standing in for λ_max of a nonsym H);
+        # 'reference' reproduces tol·λ_min (y-error target,
+        # /root/reference/src/approximation.jl:86-107)
+        gersh = jnp.sum(jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1))
+        if config.coeff_tol_scale == "kappa":
+            eps_target = config.tol * lmin / gersh
+        else:
+            eps_target = config.tol * lmin
+        coeffs = select_stenger(eps_target, tmax, pdt)
+        weights, Y = cp_solve_nonsym(
+            H, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
+        )
+        kappa_eff = gersh / lmin
+
+    terms = residual_norm_sq(H, Y, btil, k, weights, subdiag)
+    eps = jnp.finfo(pdt).eps
+    breakdown = terms.r_comp_sq < -config.breakdown_rel * eps * terms.cancel_scale
+    # Below the f64 cancellation floor the computed r_comp² is pure noise;
+    # substitute the analytic exp-sum bound ‖Hy−b̃‖ ≤ ε·κ·‖b̃‖ (|x·f(x)−1| ≤
+    # ε·x on the scaled spectrum [1, κ]) — certifies residuals below the
+    # ~√eps floor where the reference's estimator aborts.
+    r_comp_bound = coeffs.err * kappa_eff * b_norm_prod
+    cancel_floor = 16.0 * eps * terms.cancel_scale
+    r_comp_sq_eff = jnp.where(
+        terms.r_comp_sq > cancel_floor,
+        terms.r_comp_sq,
+        jnp.minimum(jnp.maximum(terms.r_comp_sq, 0.0) + cancel_floor, r_comp_bound**2),
+    )
+    r_comp = jnp.sqrt(jnp.maximum(r_comp_sq_eff, 0.0))
+    r_norm = jnp.sqrt(jnp.maximum(terms.boundary_sq + r_comp_sq_eff, 0.0))
+    rel = r_norm / b_norm_prod
+
+    return ProjectedEval(weights, Y, rel, r_comp, lmin, lmax, coeffs.rank, breakdown)
+
+
 def _setup(
     op: KroneckerSumOperator,
     b: jax.Array,
@@ -81,68 +192,6 @@ def _setup(
 
     # dense K×K windows of the A factors — only needed for 'A_minor' spectra
     W_A = dense_minor_window(op, K).astype(pdt) if config.spectral_source == "A_minor" else None
-    eig_d = 1 if config.identical_factors else d
-
-    def spectral_and_solve(H, btil, k):
-        """→ (lmin, lmax, coeffs, weights (tmax,), Y (d, K, tmax))."""
-        if sym:
-            src = H[:eig_d] if config.spectral_source != "A_minor" else W_A[:eig_d]
-            w, Q = masked_eigh(src, k)
-            if config.identical_factors:
-                w = jnp.broadcast_to(w, (d, K))
-                Q = jnp.broadcast_to(Q, (d, K, K))
-            if config.spectral_source == "analytic_laplace":
-                lmin, lmax = analytic_laplace_extremes(d, n, k.astype(pdt), pdt)
-            else:
-                lmin, lmax = sym_extremes_from_eigs(w)
-            if config.spectral_source == "A_minor":
-                # spectra estimated from A minors, but the exp solve still
-                # diagonalizes H itself
-                wh, Qh = masked_eigh(H[:eig_d], k)
-                if config.identical_factors:
-                    wh = jnp.broadcast_to(wh, (d, K))
-                    Qh = jnp.broadcast_to(Qh, (d, K, K))
-            else:
-                wh, Qh = w, Q
-            kappa = lmax / lmin
-            coeff_tol = config.tol / kappa if config.coeff_tol_scale == "kappa" else config.tol
-            coeffs = select_bh(kappa, coeff_tol, tables, tmax, config.bh_row_select)
-            if tmax > 63:
-                # hybrid: when the optimal BH tables can't reach the ε target,
-                # fall back to the (longer) closed-form sinc rule — achievable
-                # accuracy beyond the reference's table-bound floor
-                st = select_stenger(coeff_tol, tmax, pdt)
-                use_st = (coeffs.err > coeff_tol) & (st.err < coeffs.err)
-                coeffs = jax.tree.map(
-                    lambda a, b: jnp.where(use_st, a, b), st, coeffs
-                )
-            weights, Y = cp_solve_sym(
-                wh, Qh, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
-            )
-            kappa_eff = kappa
-        else:
-            # Bendixson bound via the symmetric part of the H minors
-            Hs = 0.5 * (H + jnp.swapaxes(H, 1, 2))
-            w, _ = masked_eigh(Hs[:eig_d], k)
-            if config.identical_factors:
-                w = jnp.broadcast_to(w, (d, K))
-            lmin, lmax = sym_extremes_from_eigs(w)
-            # ε target: 'kappa' certifies the residual (ε·κ ≤ tol, with the
-            # Gershgorin row bound standing in for λ_max of a nonsym H);
-            # 'reference' reproduces tol·λ_min (y-error target,
-            # /root/reference/src/approximation.jl:86-107)
-            if config.coeff_tol_scale == "kappa":
-                gersh = jnp.sum(jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1))
-                eps_target = config.tol * lmin / gersh
-            else:
-                eps_target = config.tol * lmin
-            coeffs = select_stenger(eps_target, tmax, pdt)
-            weights, Y = cp_solve_nonsym(
-                H, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
-            )
-            gersh_k = jnp.sum(jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1))
-            kappa_eff = gersh_k / lmin
-        return lmin, lmax, coeffs, weights, Y, kappa_eff
 
     def body(c: _Carry) -> _Carry:
         k = c.k
@@ -162,45 +211,24 @@ def _setup(
 
     def _evaluate(c: _Carry, state: KrylovState, k, loss) -> _Carry:
         H, btil = state.H, state.btil
-
-        lmin, lmax, coeffs, weights, Y, kappa_eff = spectral_and_solve(H, btil, k)
-
         zero = jnp.zeros((), jnp.int32)
         subdiag = lax.dynamic_slice(
             H, (zero, jnp.asarray(k, jnp.int32), jnp.asarray(k - 1, jnp.int32)), (d, 1, 1)
         )[:, 0, 0]
-        terms = residual_norm_sq(H, Y, btil, k, weights, subdiag)
 
-        eps = jnp.finfo(pdt).eps
-        breakdown = terms.r_comp_sq < -config.breakdown_rel * eps * terms.cancel_scale
-        # Below the f64 cancellation floor the computed r_comp² is pure noise;
-        # substitute the analytic exp-sum bound ‖Hy−b̃‖ ≤ ε·κ·‖b̃‖ (|x·f(x)−1|
-        # ≤ ε·x on the scaled spectrum [1, κ]). This certifies residuals below
-        # the ~√eps floor where the reference's estimator (and its breakdown
-        # exception) gives up.
-        r_comp_bound = coeffs.err * kappa_eff * b_norm_prod
-        cancel_floor = 16.0 * eps * terms.cancel_scale
-        # computed value carries ±cancel_floor of roundoff; the true value is
-        # ≤ min(analytic bound, computed + floor)
-        r_comp_sq_eff = jnp.where(
-            terms.r_comp_sq > cancel_floor,
-            terms.r_comp_sq,
-            jnp.minimum(jnp.maximum(terms.r_comp_sq, 0.0) + cancel_floor, r_comp_bound**2),
+        ev = projected_step(
+            H, btil, subdiag, k, b_norm_prod, config, tables, sym, n, W_A
         )
-        r_comp = jnp.sqrt(jnp.maximum(r_comp_sq_eff, 0.0))
-        r_norm = jnp.sqrt(jnp.maximum(terms.boundary_sq + r_comp_sq_eff, 0.0))
-        rel = r_norm / b_norm_prod
 
         status = jnp.where(
-            breakdown,
+            ev.breakdown,
             Status.BREAKDOWN,
-            jnp.where(rel < config.tol, Status.CONVERGED, Status.RUNNING),
+            jnp.where(ev.rel < config.tol, Status.CONVERGED, Status.RUNNING),
         ).astype(jnp.int32)
 
         # on breakdown the projected solution is untrustworthy → keep previous
-        keep_prev = breakdown
-        weights = jnp.where(keep_prev, c.weights, weights)
-        Y = jnp.where(keep_prev, c.Y, Y)
+        weights = jnp.where(ev.breakdown, c.weights, ev.weights)
+        Y = jnp.where(ev.breakdown, c.Y, ev.Y)
 
         return _Carry(
             state=state,
@@ -208,12 +236,12 @@ def _setup(
             status=status,
             weights=weights,
             Y=Y,
-            rel_res=c.rel_res.at[k].set(rel),
-            r_comp=c.r_comp.at[k].set(r_comp),
+            rel_res=c.rel_res.at[k].set(ev.rel),
+            r_comp=c.r_comp.at[k].set(ev.r_comp),
             orth=c.orth.at[k].set(loss),
-            lmin_h=c.lmin_h.at[k].set(lmin),
-            lmax_h=c.lmax_h.at[k].set(lmax),
-            rank_h=c.rank_h.at[k].set(coeffs.rank),
+            lmin_h=c.lmin_h.at[k].set(ev.lmin),
+            lmax_h=c.lmax_h.at[k].set(ev.lmax),
+            rank_h=c.rank_h.at[k].set(ev.rank),
         )
 
     def body_guarded(c: _Carry) -> _Carry:
@@ -325,6 +353,143 @@ def solve(
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
     return _solve_jit(op, b, tables, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _steps_segment_jit(op, b, config, state: KrylovState, k_start, k_end):
+    """Run Krylov steps only (no projected stage) from k_start..k_end."""
+    op = op.astype(config.basis_dtype)
+    step = _step_fn(config)
+
+    def body(c):
+        st, k = c
+        st2, _ = step(op, st, b, k)
+        return (st2, k + 1)
+
+    st, _ = lax.while_loop(lambda c: c[1] <= k_end, body, (state, k_start))
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _init_state_jit(op, b, config):
+    op = op.astype(config.basis_dtype)
+    return init_state(op, b, config.kmax, config.proj_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _lift_jit(V, Y):
+    return jnp.einsum("dkn,dkt->dnt", V.astype(Y.dtype), Y)
+
+
+def solve_host_projected(
+    op: KroneckerSumOperator,
+    b,
+    config: Optional[SolverConfig] = None,
+    tables: Optional[BHTables] = None,
+) -> SolveResult:
+    """Hybrid execution: the accelerator runs only the n-sized Krylov
+    recurrences (in check_every-step segments); the k-sized projected stage
+    (eigh, coefficient selection, exp-sum CP solve, Lemma-3.4 residual) runs
+    on the host CPU backend between segments — the SAME `projected_step`
+    function, eagerly on CPU.
+
+    Rationale: on TPU the projected stage must run in f64 (DESIGN.md §6),
+    and f64 eigh is emulated and latency-bound; at large n the Krylov steps
+    are HBM-bound device work while the projected stage is tiny (KBs of H/b̃
+    per check) — exactly the reference's implicit layout (everything small on
+    the host) but with the heavy axis on the accelerator.
+    """
+    config = config or SolverConfig()
+    b = jnp.asarray(b)
+    if not op.symmetric and config.orth != "arnoldi":
+        raise ValueError("nonsymmetric operators require orth='arnoldi'")
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        tables_cpu = load_tables(dtype=config.proj_dtype) if op.symmetric else None
+
+    state, b_norms = _init_state_jit(op, b, config)
+    b_norm_prod = float(np.prod(np.asarray(b_norms)))
+
+    K = config.kmax + 1
+    d, n = b.shape
+    pdt = config.proj_dtype
+    hist = {
+        name: np.full((K,), np.inf if name in ("rel_res", "r_comp") else 0.0)
+        for name in ("rel_res", "r_comp", "orth", "lmin", "lmax")
+    }
+    rank_h = np.zeros((K,), np.int32)
+
+    with jax.default_device(cpu):
+        W_A = (
+            dense_minor_window(
+                KroneckerSumOperator(
+                    jnp.asarray(np.asarray(op.bands)), op.offsets, op.symmetric
+                ),
+                K,
+            ).astype(pdt)
+            if config.spectral_source == "A_minor"
+            else None
+        )
+
+    status = int(Status.RUNNING)
+    k = 1
+    niter = 0
+    weights_np = np.zeros((config.tmax,))
+    Y_np = np.zeros((d, K, config.tmax))
+    while k <= config.kmax and status == Status.RUNNING:
+        k_end = min(k + config.check_every - 1, config.kmax)
+        state = _steps_segment_jit(
+            op, b, config, state, jnp.asarray(k, jnp.int32), jnp.asarray(k_end, jnp.int32)
+        )
+        H_np = np.asarray(state.H)
+        btil_np = np.asarray(state.btil)
+        with jax.default_device(cpu):
+            ev = projected_step(
+                jnp.asarray(H_np),
+                jnp.asarray(btil_np),
+                jnp.asarray(H_np[:, k_end, k_end - 1]),
+                k_end,
+                jnp.asarray(b_norm_prod, pdt),
+                config,
+                tables_cpu,
+                op.symmetric,
+                n,
+                W_A,
+            )
+        rel = float(ev.rel)
+        hist["rel_res"][k_end] = rel
+        hist["r_comp"][k_end] = float(ev.r_comp)
+        hist["lmin"][k_end] = float(ev.lmin)
+        hist["lmax"][k_end] = float(ev.lmax)
+        rank_h[k_end] = int(ev.rank)
+        niter = k_end
+        if bool(ev.breakdown):
+            status = int(Status.BREAKDOWN)
+        elif rel < config.tol:
+            status = int(Status.CONVERGED)
+            weights_np = np.asarray(ev.weights)
+            Y_np = np.asarray(ev.Y)
+        else:
+            weights_np = np.asarray(ev.weights)
+            Y_np = np.asarray(ev.Y)
+        k = k_end + 1
+
+    if status == Status.RUNNING:
+        status = int(Status.MAXITER)
+
+    x_factors = _lift_jit(state.V, jnp.asarray(Y_np))
+    return SolveResult(
+        x=CPTensor(jnp.asarray(weights_np), x_factors),
+        status=jnp.asarray(status, jnp.int32),
+        niterations=jnp.asarray(niter, jnp.int32),
+        relative_residual=jnp.asarray(hist["rel_res"]),
+        projected_residual=jnp.asarray(hist["r_comp"]),
+        orthogonality=jnp.asarray(hist["orth"]),
+        lambda_min=jnp.asarray(hist["lmin"]),
+        lambda_max=jnp.asarray(hist["lmax"]),
+        expsum_rank=jnp.asarray(rank_h),
+        config=config,
+    )
 
 
 def solve_resumable(

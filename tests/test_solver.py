@@ -192,3 +192,22 @@ def test_single_mode_d1():
     res = tk.solve(op, b, SolverConfig(kmax=40, tol=1e-8))
     assert int(res.status) == Status.CONVERGED
     assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-8
+
+
+def test_host_projected_matches_device():
+    """Hybrid host-projected mode must match the all-device solve."""
+    from tensorkrylov_tpu.solver import solve_host_projected
+
+    op = tk.laplace(3, 30)
+    b = _normalized_rhs(3, 30, 20)
+    cfg = SolverConfig(kmax=30, tol=1e-8, check_every=5)
+    r_dev = tk.solve(op, b, cfg)
+    r_host = solve_host_projected(op, b, cfg)
+    assert int(r_host.status) == int(r_dev.status)
+    assert int(r_host.niterations) == int(r_dev.niterations)
+    ni = int(r_dev.niterations)
+    rr_d = np.asarray(r_dev.relative_residual)
+    rr_h = np.asarray(r_host.relative_residual)
+    mask = np.isfinite(rr_h[: ni + 1])
+    np.testing.assert_allclose(rr_h[: ni + 1][mask], rr_d[: ni + 1][mask], rtol=1e-9)
+    assert tk.kron_residual_dense(op, r_host.x, np.asarray(b)) < 1e-8
