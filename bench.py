@@ -103,6 +103,9 @@ def _bench_solver_iterations(tk, jax, jnp):
 def main():
     import jax
 
+    from tensorkrylov_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import tensorkrylov_tpu as tk
