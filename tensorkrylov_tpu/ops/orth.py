@@ -61,14 +61,15 @@ def init_state(op: KroneckerSumOperator, b: jax.Array, kmax: int, proj_dtype) ->
     K = kmax + 1
     dtype = op.dtype
     b = b.astype(dtype)
-    b_norms = jnp.linalg.norm(b.astype(proj_dtype), axis=1)
+    acc = _acc_dtype(dtype, proj_dtype)
+    b_norms = jnp.linalg.norm(b.astype(acc), axis=1).astype(proj_dtype)
     v0 = b / b_norms.astype(dtype)[:, None]
     V = jnp.zeros((d, K, n), dtype)
     V = V.at[:, 0, :].set(v0)
     H = jnp.zeros((d, K, K), proj_dtype)
     btil = jnp.zeros((d, K), proj_dtype)
     btil = btil.at[:, 0].set(
-        jnp.einsum("dn,dn->d", v0, b, preferred_element_type=proj_dtype)
+        jnp.einsum("dn,dn->d", v0, b, preferred_element_type=acc).astype(proj_dtype)
     )
     beta = jnp.zeros((d,), proj_dtype)
     return KrylovState(V, H, btil, beta), b_norms
@@ -79,6 +80,17 @@ def _col(V: jax.Array, j) -> jax.Array:
     return lax.dynamic_slice_in_dim(V, j, 1, axis=1)[:, 0, :]
 
 
+def _acc_dtype(basis_dtype, proj_dtype):
+    """Accumulation dtype for length-n reductions: f64 accumulation is
+    software-emulated on TPU (~2 orders of magnitude slower elementwise), so
+    only use it when the basis itself is f64 — for f32/bf16 bases XLA's tree
+    reduction in f32 already bounds the error at ~log(n)·eps_f32, consistent
+    with the basis precision. Results are cast to proj_dtype afterwards."""
+    if basis_dtype == jnp.float64:
+        return proj_dtype
+    return jnp.float32
+
+
 def _prefix_mask(K: int, k, dtype) -> jax.Array:
     """(K,) mask of columns < k."""
     return (jnp.arange(K) < k).astype(dtype)
@@ -86,7 +98,8 @@ def _prefix_mask(K: int, k, dtype) -> jax.Array:
 
 def _project_coeffs(V, u, k, proj_dtype):
     """w = V[:, :k]^T u, masked GEMV over the padded basis: (d, K)."""
-    w = jnp.einsum("dkn,dn->dk", V, u, preferred_element_type=proj_dtype)
+    acc = _acc_dtype(V.dtype, proj_dtype)
+    w = jnp.einsum("dkn,dn->dk", V, u, preferred_element_type=acc).astype(proj_dtype)
     return w * _prefix_mask(V.shape[1], k, w.dtype)
 
 
@@ -113,7 +126,8 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     v_pprev = _col(V, jnp.maximum(k - 2, 0))
     u = u - beta.astype(dtype)[:, None] * v_pprev
 
-    alpha = jnp.einsum("dn,dn->d", u, v_prev, preferred_element_type=proj_dtype)
+    acc = _acc_dtype(dtype, proj_dtype)
+    alpha = jnp.einsum("dn,dn->d", u, v_prev, preferred_element_type=acc).astype(proj_dtype)
     u = u - alpha.astype(dtype)[:, None] * v_prev
 
     if reorth:
@@ -127,7 +141,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
         loss = jnp.asarray(0.0, proj_dtype)
 
     beta_new = jnp.sqrt(
-        jnp.einsum("dn,dn->d", u, u, preferred_element_type=proj_dtype)
+        jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype)
     )
     # lucky breakdown: beta == 0 → write a zero vector, like the reference
     # (/root/reference/src/orthogonal_bases.jl:59)
@@ -139,7 +153,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     H = _set_entry(H, k, k - 1, beta_new)
     H = _set_entry(H, k - 1, k, beta_new)
     btil = _set_vec_entry(
-        btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=proj_dtype)
+        btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc).astype(proj_dtype)
     )
     return KrylovState(V, H, btil, beta_new), loss
 
@@ -162,7 +176,8 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     u = _subtract_span(V, u, w2)
     h = w1 + w2  # (d, K) Hessenberg column entries 0..k-1
 
-    h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=proj_dtype))
+    acc = _acc_dtype(dtype, proj_dtype)
+    h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))
     safe = jnp.where(h_new > 0, h_new, 1.0)
     v_new = u / safe.astype(dtype)[:, None]
 
@@ -172,7 +187,7 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     zero = jnp.zeros((), jnp.int32)
     H = lax.dynamic_update_slice(H, col[:, :, None], (zero, zero, jnp.asarray(k - 1, jnp.int32)))
     btil = _set_vec_entry(
-        btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=proj_dtype)
+        btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc).astype(proj_dtype)
     )
     loss = jnp.linalg.norm(w2)
     return KrylovState(V, H, btil, h_new), loss
