@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .coeffs.tables import BHTables, ExpSumCoeffs, load_tables, select_bh, select_stenger
+from .coeffs.tables import BHTables, load_tables, select_bh, select_stenger
 from .ops.eigen import (
     analytic_laplace_extremes,
     dense_minor_window,
