@@ -14,6 +14,7 @@ signalling (/root/reference/src/utils.jl:7-14,
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
@@ -27,6 +28,7 @@ from .ops.eigen import (
     analytic_laplace_extremes,
     dense_minor_window,
     masked_eigh,
+    masked_eigh_tridiag_mixed,
     sym_extremes_from_eigs,
 )
 from .ops.expsum import cp_solve_nonsym, cp_solve_sym
@@ -94,9 +96,16 @@ def projected_step(
     pdt = config.proj_dtype
     eig_d = 1 if config.identical_factors else d
 
+    # eigh of tridiagonal H via the mixed-precision solver when requested
+    # (valid only for the Lanczos path, where H is tridiag by construction)
+    use_tridiag = config.eigh_impl == "tridiag_mixed" and config.orth != "arnoldi"
+    eig_H = masked_eigh_tridiag_mixed if use_tridiag else masked_eigh
+
     if symmetric:
-        src = H[:eig_d] if config.spectral_source != "A_minor" else W_A[:eig_d]
-        w, Q = masked_eigh(src, k)
+        if config.spectral_source != "A_minor":
+            w, Q = eig_H(H[:eig_d], k)
+        else:
+            w, Q = masked_eigh(W_A[:eig_d], k)
         if config.identical_factors:
             w = jnp.broadcast_to(w, (d, K))
             Q = jnp.broadcast_to(Q, (d, K, K))
@@ -107,7 +116,7 @@ def projected_step(
         if config.spectral_source == "A_minor":
             # spectra estimated from A minors, but the exp solve still
             # diagonalizes H itself
-            wh, Qh = masked_eigh(H[:eig_d], k)
+            wh, Qh = eig_H(H[:eig_d], k)
             if config.identical_factors:
                 wh = jnp.broadcast_to(wh, (d, K))
                 Qh = jnp.broadcast_to(Qh, (d, K, K))
@@ -330,6 +339,19 @@ def _finalize_jit(carry: _Carry, config) -> SolveResult:
     return _finalize(carry, config)
 
 
+def _resolve_config(config: SolverConfig, op: KroneckerSumOperator, host_projected: bool = False) -> SolverConfig:
+    """Resolve 'auto' settings against the runtime backend."""
+    if config.eigh_impl == "auto":
+        on_tpu = jax.default_backend() == "tpu" and not host_projected
+        impl = (
+            "tridiag_mixed"
+            if on_tpu and op.symmetric and config.orth != "arnoldi"
+            else "dense"
+        )
+        config = dataclasses.replace(config, eigh_impl=impl)
+    return config
+
+
 def solve(
     op: KroneckerSumOperator,
     b,
@@ -350,6 +372,7 @@ def solve(
         pass  # allowed: Arnoldi on SPD is valid, just slower
     if not op.symmetric and config.orth != "arnoldi":
         raise ValueError("nonsymmetric operators require orth='arnoldi'")
+    config = _resolve_config(config, op)
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
     return _solve_jit(op, b, tables, config)
@@ -400,6 +423,7 @@ def solve_host_projected(
     the host) but with the heavy axis on the accelerator.
     """
     config = config or SolverConfig()
+    config = _resolve_config(config, op, host_projected=True)
     b = jnp.asarray(b)
     if not op.symmetric and config.orth != "arnoldi":
         raise ValueError("nonsymmetric operators require orth='arnoldi'")
@@ -511,7 +535,7 @@ def solve_resumable(
     """
     from .utils.checkpoint import load_carry, save_carry
 
-    config = config or SolverConfig()
+    config = _resolve_config(config or SolverConfig(), op)
     b = jnp.asarray(b)
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
@@ -550,7 +574,7 @@ def solve_multi_rhs(
     solution of rank Σ_r t_r (weights/factor columns concatenated); the
     batched result carries per-term telemetry.
     """
-    config = config or SolverConfig()
+    config = _resolve_config(config or SolverConfig(), op)
     B = jnp.asarray(B)
     if B.ndim != 3 or B.shape[1] != op.d or B.shape[2] != op.n:
         raise ValueError(f"B must be (R, d, n) = (R, {op.d}, {op.n}), got {B.shape}")

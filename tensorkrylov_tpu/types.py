@@ -159,6 +159,14 @@ class SolverConfig:
                                      # assumes this, /root/reference/src/utils.jl:509)
     # residual check cadence (1 = every iteration, like the reference)
     check_every: int = 1
+    # Eigendecomposition of the projected H minors:
+    #  'auto'          — dense LAPACK-style eigh on CPU, mixed-precision
+    #                    tridiagonal solver on TPU (where f64 eigh is
+    #                    emulated and ~100 ms-scale) when H is tridiagonal
+    #  'dense'         — always jnp.linalg.eigh
+    #  'tridiag_mixed' — f32 seed + f64 Sturm refinement + inverse iteration
+    #                    (Lanczos/symmetric path only)
+    eigh_impl: str = "auto"
     # Exponential-sum accuracy target: 'kappa' selects coefficients with
     # tabulated error ≤ tol/κ (the residual of the compressed solve is
     # bounded by ε·κ·‖b̃‖, so this is what actually certifies tol);
@@ -181,6 +189,7 @@ class SolverConfig:
         assert self.spectral_source in ("H", "A_minor", "analytic_laplace")
         assert self.coeff_tol_scale in ("kappa", "reference")
         assert self.bh_row_select in ("ceil", "reference")
+        assert self.eigh_impl in ("auto", "dense", "tridiag_mixed")
 
 
 @_pytree_dataclass(static=("config",))

@@ -211,3 +211,20 @@ def test_host_projected_matches_device():
     mask = np.isfinite(rr_h[: ni + 1])
     np.testing.assert_allclose(rr_h[: ni + 1][mask], rr_d[: ni + 1][mask], rtol=1e-9)
     assert tk.kron_residual_dense(op, r_host.x, np.asarray(b)) < 1e-8
+
+
+def test_tridiag_mixed_eigh_solve_matches_dense():
+    """Forcing the mixed tridiagonal eigensolver gives the same solve."""
+    op = tk.laplace(3, 30)
+    b = _normalized_rhs(3, 30, 22)
+    r_dense = tk.solve(op, b, SolverConfig(kmax=30, tol=1e-8, eigh_impl="dense"))
+    r_mixed = tk.solve(op, b, SolverConfig(kmax=30, tol=1e-8, eigh_impl="tridiag_mixed"))
+    assert int(r_mixed.status) == int(r_dense.status)
+    ni = int(r_dense.niterations)
+    assert int(r_mixed.niterations) == ni
+    np.testing.assert_allclose(
+        np.asarray(r_mixed.relative_residual[1 : ni + 1]),
+        np.asarray(r_dense.relative_residual[1 : ni + 1]),
+        rtol=1e-7,
+    )
+    assert tk.kron_residual_dense(op, r_mixed.x, np.asarray(b)) < 1e-8
