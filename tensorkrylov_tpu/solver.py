@@ -229,6 +229,12 @@ def _setup(
             H, btil, subdiag, k, b_norm_prod, config, tables, sym, n, W_A
         )
 
+        if config.debug:
+            jax.debug.print(
+                "k={k}  rel_res={r:.3e}  r_comp={rc:.3e}  λ∈[{a:.3e},{b:.3e}]  t={t}",
+                k=k, r=ev.rel, rc=ev.r_comp, a=ev.lmin, b=ev.lmax, t=ev.rank,
+            )
+
         status = jnp.where(
             ev.breakdown,
             Status.BREAKDOWN,

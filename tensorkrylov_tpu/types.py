@@ -167,6 +167,10 @@ class SolverConfig:
     #  'tridiag_mixed' — f32 seed + f64 Sturm refinement + inverse iteration
     #                    (Lanczos/symmetric path only)
     eigh_impl: str = "auto"
+    # per-check progress via jax.debug.print from inside the jitted loop —
+    # the analogue of the reference's DebugMode
+    # (/root/reference/src/tensor_krylov_method.jl:6-8)
+    debug: bool = False
     # Exponential-sum accuracy target: 'kappa' selects coefficients with
     # tabulated error ≤ tol/κ (the residual of the compressed solve is
     # bounded by ε·κ·‖b̃‖, so this is what actually certifies tol);
