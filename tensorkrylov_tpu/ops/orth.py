@@ -109,11 +109,26 @@ def _subtract_span(V, u, w):
     return u - corr
 
 
-def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth: bool, proj_dtype):
+def _apply_writes(state: KrylovState, new: KrylovState, k, active):
+    """Commit a step's writes only when `active` (scalar bool) — frozen
+    vmap lanes rewrite their existing values, making the step a no-op
+    without putting the O(d·K·n) basis through a conditional."""
+    if active is None:
+        return new
+    V_old_col = _col(state.V, k)
+    V_new_col = _col(new.V, k)
+    col = jnp.where(active, V_new_col, V_old_col)
+    V = lax.dynamic_update_slice_in_dim(new.V, col[:, None, :], k, axis=1)
+    pick = lambda a, b: jnp.where(active, a, b)
+    return KrylovState(V, pick(new.H, state.H), pick(new.btil, state.btil), pick(new.beta, state.beta))
+
+
+def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth: bool, proj_dtype, active=None):
     """One three-term-recurrence step producing basis vector k (all factors).
 
     Behavioural reference: /root/reference/src/orthogonal_bases.jl:39-139.
-    Returns (state', orth_loss_estimate (scalar f64)).
+    Returns (state', orth_loss_estimate (scalar f64)). `active` (optional
+    scalar bool) gates the state writes — see _apply_writes.
     """
     V, H, btil, beta = state
     dtype = V.dtype
@@ -155,10 +170,10 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     btil = _set_vec_entry(
         btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc).astype(proj_dtype)
     )
-    return KrylovState(V, H, btil, beta_new), loss
+    return _apply_writes(state, KrylovState(V, H, btil, beta_new), k, active), loss
 
 
-def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, proj_dtype):
+def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, proj_dtype, active=None):
     """One CGS2 Arnoldi step producing basis vector k (all factors).
 
     Behavioural reference: MGS x2 at /root/reference/src/orthogonal_bases.jl:15-37.
@@ -190,7 +205,7 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
         btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc).astype(proj_dtype)
     )
     loss = jnp.linalg.norm(w2)
-    return KrylovState(V, H, btil, h_new), loss
+    return _apply_writes(state, KrylovState(V, H, btil, h_new), k, active), loss
 
 
 def _set_entry(H, i, j, vals):

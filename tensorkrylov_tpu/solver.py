@@ -53,12 +53,34 @@ class _Carry(NamedTuple):
     rank_h: jax.Array       # (K,) int32
 
 
+class _Small(NamedTuple):
+    """The cond-crossing sub-carry (everything except the O(d·K·n) basis)."""
+
+    status: jax.Array
+    weights: jax.Array
+    Y: jax.Array
+    rel_res: jax.Array
+    r_comp: jax.Array
+    orth: jax.Array
+    lmin_h: jax.Array
+    lmax_h: jax.Array
+    rank_h: jax.Array
+
+
+def _small_of(c: _Carry) -> _Small:
+    return _Small(
+        c.status, c.weights, c.Y, c.rel_res, c.r_comp, c.orth, c.lmin_h, c.lmax_h, c.rank_h
+    )
+
+
 def _step_fn(config: SolverConfig):
     if config.orth == "arnoldi":
-        return lambda op, st, b, k: arnoldi_step(op, st, b, k, proj_dtype=config.proj_dtype)
+        return lambda op, st, b, k, active=None: arnoldi_step(
+            op, st, b, k, proj_dtype=config.proj_dtype, active=active
+        )
     reorth = config.orth == "lanczos_reorth"
-    return lambda op, st, b, k: lanczos_step(
-        op, st, b, k, reorth=reorth, proj_dtype=config.proj_dtype
+    return lambda op, st, b, k, active=None: lanczos_step(
+        op, st, b, k, reorth=reorth, proj_dtype=config.proj_dtype, active=active
     )
 
 
@@ -202,24 +224,8 @@ def _setup(
     # dense K×K windows of the A factors — only needed for 'A_minor' spectra
     W_A = dense_minor_window(op, K).astype(pdt) if config.spectral_source == "A_minor" else None
 
-    def body(c: _Carry) -> _Carry:
-        k = c.k
-        state, loss = step(op, c.state, b, k)
-        # evaluate the projected solve + residual only every check_every
-        # steps (and at the final step) — the Krylov recurrence itself is
-        # much cheaper than the eigh/exp-sum/residual stage
-        do_check = ((k % config.check_every) == 0) | (k >= config.kmax)
-        return lax.cond(
-            do_check,
-            lambda args: _evaluate(*args),
-            lambda args: args[0]._replace(
-                state=args[1], k=args[2] + 1, orth=args[0].orth.at[args[2]].set(args[3])
-            ),
-            (c, state, k, loss),
-        )
-
-    def _evaluate(c: _Carry, state: KrylovState, k, loss) -> _Carry:
-        H, btil = state.H, state.btil
+    def _evaluate(args):
+        c, H, btil, k, loss = args
         zero = jnp.zeros((), jnp.int32)
         subdiag = lax.dynamic_slice(
             H, (zero, jnp.asarray(k, jnp.int32), jnp.asarray(k - 1, jnp.int32)), (d, 1, 1)
@@ -245,9 +251,7 @@ def _setup(
         weights = jnp.where(ev.breakdown, c.weights, ev.weights)
         Y = jnp.where(ev.breakdown, c.Y, ev.Y)
 
-        return _Carry(
-            state=state,
-            k=k + 1,
+        return c._replace(
             status=status,
             weights=weights,
             Y=Y,
@@ -259,10 +263,26 @@ def _setup(
             rank_h=c.rank_h.at[k].set(ev.rank),
         )
 
-    def body_guarded(c: _Carry) -> _Carry:
-        # freeze finished lanes — makes the loop vmap-safe (batched multi-RHS
-        # solves run until all lanes finish; finished ones must not mutate)
-        return lax.cond(c.status == Status.RUNNING, body, lambda c: c, c)
+    def body(c: _Carry) -> _Carry:
+        k = c.k
+        active = c.status == Status.RUNNING
+        state, loss = step(op, c.state, b, k, active)
+        # Evaluate the projected solve + residual only every check_every
+        # steps (and at the final step). Only the SMALL sub-carry crosses the
+        # conditional — the O(d·K·n) basis stays outside (conditional
+        # boundaries can force whole-buffer copies).
+        do_check = (((k % config.check_every) == 0) | (k >= config.kmax)) & active
+        small = lax.cond(
+            do_check,
+            _evaluate,
+            lambda args: args[0]._replace(orth=args[0].orth.at[args[3]].set(args[4])),
+            (_small_of(c), state.H, state.btil, k, loss),
+        )
+        # freeze finished lanes by freezing k and gating both the state
+        # writes (`active` in step) and the evaluation — vmapped multi-RHS
+        # solves need no carry-wide conditional guard
+        k_next = k + active.astype(k.dtype)
+        return _Carry(state=state, k=k_next, **small._asdict())
 
     init = _Carry(
         state=state0,
@@ -278,7 +298,7 @@ def _setup(
         rank_h=jnp.zeros((K,), jnp.int32),
     )
 
-    return init, body_guarded
+    return init, body
 
 
 def _finalize(final: _Carry, config: SolverConfig) -> SolveResult:
