@@ -109,6 +109,37 @@ def _subtract_span(V, u, w):
     return u - corr
 
 
+def _replace_lucky(V, v_new, lucky, k, proj_dtype):
+    """Lucky-breakdown restart: for factors whose new Krylov vector vanished
+    (β ≈ 0 — the space is A-invariant), continue with a fresh deterministic
+    pseudo-random direction orthogonalized against the existing basis.
+
+    For symmetric A the complement of an invariant subspace is invariant, so
+    the restarted three-term recurrence stays exact (H becomes block
+    tridiagonal); Arnoldi's full-column projections handle the nonsymmetric
+    case automatically. This strictly improves on the reference's
+    write-a-zero-vector handling (/root/reference/src/orthogonal_bases.jl:59),
+    which poisons the projected spectrum with spurious zero eigenvalues.
+
+    Cost is paid only when a breakdown actually occurs (lax.cond).
+    """
+    d, K, n = V.shape
+
+    def build(v_new):
+        i = jnp.arange(n, dtype=V.dtype)
+        s = jnp.arange(d, dtype=V.dtype)[:, None]
+        kf = jnp.asarray(k, V.dtype)
+        vr = jnp.cos((i[None, :] + 0.7) * (1.0 + 0.01 * s) + 0.37 * kf)
+        for _ in range(2):  # CGS twice against the existing prefix
+            w = _project_coeffs(V, vr, k, proj_dtype)
+            vr = _subtract_span(V, vr, w)
+        nrm = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
+        vr = vr / jnp.where(nrm > 0, nrm, 1.0).astype(V.dtype)[:, None]
+        return jnp.where(lucky[:, None], vr, v_new)
+
+    return lax.cond(jnp.any(lucky), build, lambda v: v, v_new)
+
+
 def _apply_writes(state: KrylovState, new: KrylovState, k, active):
     """Commit a step's writes only when `active` (scalar bool) — frozen
     vmap lanes rewrite their existing values, making the step a no-op
@@ -158,10 +189,15 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     beta_new = jnp.sqrt(
         jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype)
     )
-    # lucky breakdown: beta == 0 → write a zero vector, like the reference
-    # (/root/reference/src/orthogonal_bases.jl:59)
+    # lucky breakdown: the factor's Krylov space is invariant — restart with
+    # a fresh orthogonal direction (see _replace_lucky); β stays 0 in H,
+    # which is the genuine coupling
+    scale = jnp.abs(alpha) + beta + jnp.asarray(1e-300, proj_dtype)
+    lucky = beta_new < 256.0 * jnp.finfo(dtype).eps * scale
+    beta_new = jnp.where(lucky, 0.0, beta_new)
     safe = jnp.where(beta_new > 0, beta_new, 1.0)
     v_new = u / safe.astype(dtype)[:, None]
+    v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
 
     V = lax.dynamic_update_slice_in_dim(V, v_new[:, None, :], k, axis=1)
     H = _set_entry(H, k - 1, k - 1, alpha)
@@ -193,8 +229,12 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
 
     acc = _acc_dtype(dtype, proj_dtype)
     h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))
+    scale = jnp.sum(jnp.abs(h), axis=1) + jnp.asarray(1e-300, proj_dtype)
+    lucky = h_new < 256.0 * jnp.finfo(dtype).eps * scale
+    h_new = jnp.where(lucky, 0.0, h_new)
     safe = jnp.where(h_new > 0, h_new, 1.0)
     v_new = u / safe.astype(dtype)[:, None]
+    v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
 
     V = lax.dynamic_update_slice_in_dim(V, v_new[:, None, :], k, axis=1)
     # write the whole Hessenberg column j = k-1: rows 0..k-1 from h, row k = h_new

@@ -228,3 +228,27 @@ def test_tridiag_mixed_eigh_solve_matches_dense():
         rtol=1e-7,
     )
     assert tk.kron_residual_dense(op, r_mixed.x, np.asarray(b)) < 1e-8
+
+
+def test_lucky_breakdown_restart():
+    """RHS aligned with an eigenvector triggers lucky breakdown; the restart
+    (fresh orthogonal direction) must keep the solve exact — the reference's
+    zero-vector handling poisons its spectral estimates here."""
+    from tensorkrylov_tpu.solver import solve_multi_rhs
+    from tensorkrylov_tpu.utils.cp import cp_full, kron_matvec_dense
+    from tensorkrylov_tpu.types import CPTensor
+
+    d, n = 2, 24
+    op = tk.eigval_matrix(np.linspace(1.0, 30.0, n), d=d)
+    b = np.zeros((d, n))
+    b[:, 0] = 1.0  # exact eigenvector of each factor
+    res = tk.solve(op, jnp.asarray(b), SolverConfig(kmax=24, tol=1e-8, check_every=2))
+    assert int(res.status) == Status.CONVERGED
+    assert int(res.niterations) <= 4
+    bfull = np.array([1.0])
+    for s in range(d):
+        bfull = np.kron(bfull, b[s])
+    rn = np.linalg.norm(
+        kron_matvec_dense(op, cp_full(res.x)) - bfull
+    ) / np.linalg.norm(bfull)
+    assert rn < 1e-8
