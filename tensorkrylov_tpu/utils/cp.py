@@ -11,7 +11,28 @@ import numpy as np
 from ..types import CPTensor, KroneckerSumOperator
 from ..models.gallery import bands_to_dense
 
-__all__ = ["cp_dot", "cp_norm", "cp_full", "kron_residual_dense", "kron_matvec_dense"]
+__all__ = [
+    "cp_dot",
+    "cp_norm",
+    "cp_full",
+    "cp_compress",
+    "kron_residual_dense",
+    "kron_matvec_dense",
+]
+
+
+def cp_compress(x: CPTensor, rel_tol: float = 0.0) -> CPTensor:
+    """Drop CP terms with (near-)zero weight — e.g. the padded columns of a
+    solver result or a multi-RHS concatenation. Host-side (dynamic output
+    shape). rel_tol is relative to the largest |weight|."""
+    w = np.asarray(x.weights)
+    f = np.asarray(x.factors)
+    if w.size == 0:
+        return x
+    keep = np.abs(w) > rel_tol * np.abs(w).max()
+    if not np.any(keep):
+        keep = np.abs(w) == np.abs(w).max()
+    return CPTensor(jnp.asarray(w[keep]), jnp.asarray(f[:, :, keep]))
 
 
 def cp_dot(x: CPTensor, y: CPTensor) -> jnp.ndarray:

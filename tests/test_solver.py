@@ -252,3 +252,14 @@ def test_lucky_breakdown_restart():
         kron_matvec_dense(op, cp_full(res.x)) - bfull
     ) / np.linalg.norm(bfull)
     assert rn < 1e-8
+
+
+def test_cp_compress():
+    from tensorkrylov_tpu.utils.cp import cp_compress, cp_full
+
+    op = tk.laplace(2, 20)
+    b = _normalized_rhs(2, 20, 23)
+    res = tk.solve(op, b, SolverConfig(kmax=20, tol=1e-8))
+    xc = cp_compress(res.x)
+    assert xc.rank < res.x.rank  # padded zero-weight columns dropped
+    np.testing.assert_allclose(cp_full(xc), cp_full(res.x), rtol=1e-12, atol=1e-12)
