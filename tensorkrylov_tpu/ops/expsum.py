@@ -99,18 +99,28 @@ def cp_solve_nonsym(
     we batch over distinct factors).
     """
     d, K, _ = H.shape
+    tmax = alpha.shape[0]
     m = (jnp.arange(K) < k).astype(H.dtype)
     Hm = H * m[None, :, None] * m[None, None, :]
     btil_m = btil * m[None, :]
+    n_terms = jnp.sum(t_mask).astype(jnp.int32)
 
-    def term(carry, inputs):
-        a_j, mask_j = inputs
-        gamma = -a_j / lam_min
+    def term(carry):
+        factors, j = carry
+        gamma = -alpha[j] / lam_min
         E = expm_taylor_ss(Hm * gamma)
-        col = jnp.einsum("dij,dj->di", E, btil_m) * mask_j
-        return carry, col
+        col = jnp.einsum("dij,dj->di", E, btil_m)
+        factors = lax.dynamic_update_slice(
+            factors, col[:, :, None], (jnp.zeros((), jnp.int32),) * 2 + (j,)
+        )
+        return factors, j + 1
 
-    _, cols = lax.scan(term, None, (alpha, t_mask))  # (tmax, d, K)
-    factors = jnp.moveaxis(cols, 0, -1)              # (d, K, tmax)
+    # while_loop (not scan): only the ACTIVE terms pay their expm — with a
+    # large tmax grid the masked tail would otherwise dominate the check
+    factors0 = jnp.zeros((d, K, tmax), H.dtype)
+    factors, _ = lax.while_loop(
+        lambda c: c[1] < n_terms, term, (factors0, jnp.zeros((), jnp.int32))
+    )
+    factors = factors * t_mask[None, None, :]
     weights = (omega / lam_min) * t_mask
     return weights, factors
