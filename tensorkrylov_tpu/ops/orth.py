@@ -39,7 +39,10 @@ __all__ = [
 class KrylovState(NamedTuple):
     """Padded Krylov decomposition state for all d factors.
 
-    V: (d, K, n) orthonormal bases, rows are vectors; K = kmax + 1.
+    V: (K, d, n) orthonormal bases — the Krylov index LEADS so each step's
+    basis-vector write is one contiguous (tile-aligned) slab; updating the
+    middle axis of a (d, K, n) layout costs an ~8x sublane read-modify-write
+    amplification on TPU. K = kmax + 1.
     H: (d, K, K) projected matrices (proj dtype, f64): H[s, i, j] = v_i^T A v_j.
     btil: (d, K) compressed RHS entries <v_j, b_s>.
     beta: (d,) last subdiagonal (Lanczos recurrence carry).
@@ -64,8 +67,8 @@ def init_state(op: KroneckerSumOperator, b: jax.Array, kmax: int, proj_dtype) ->
     acc = _acc_dtype(dtype, proj_dtype)
     b_norms = jnp.linalg.norm(b.astype(acc), axis=1).astype(proj_dtype)
     v0 = b / b_norms.astype(dtype)[:, None]
-    V = jnp.zeros((d, K, n), dtype)
-    V = V.at[:, 0, :].set(v0)
+    V = jnp.zeros((K, d, n), dtype)
+    V = V.at[0].set(v0)
     H = jnp.zeros((d, K, K), proj_dtype)
     btil = jnp.zeros((d, K), proj_dtype)
     btil = btil.at[:, 0].set(
@@ -76,8 +79,8 @@ def init_state(op: KroneckerSumOperator, b: jax.Array, kmax: int, proj_dtype) ->
 
 
 def _col(V: jax.Array, j) -> jax.Array:
-    """V[:, j, :] with a traced index."""
-    return lax.dynamic_slice_in_dim(V, j, 1, axis=1)[:, 0, :]
+    """V[j] with a traced index → (d, n)."""
+    return lax.dynamic_slice_in_dim(V, j, 1, axis=0)[0]
 
 
 def _acc_dtype(basis_dtype, proj_dtype):
@@ -97,15 +100,15 @@ def _prefix_mask(K: int, k, dtype) -> jax.Array:
 
 
 def _project_coeffs(V, u, k, proj_dtype):
-    """w = V[:, :k]^T u, masked GEMV over the padded basis: (d, K)."""
+    """w = V[:k]^T u, masked GEMV over the padded basis: (d, K)."""
     acc = _acc_dtype(V.dtype, proj_dtype)
-    w = jnp.einsum("dkn,dn->dk", V, u, preferred_element_type=acc).astype(proj_dtype)
-    return w * _prefix_mask(V.shape[1], k, w.dtype)
+    w = jnp.einsum("kdn,dn->dk", V, u, preferred_element_type=acc).astype(proj_dtype)
+    return w * _prefix_mask(V.shape[0], k, w.dtype)
 
 
 def _subtract_span(V, u, w):
     """u -= Σ_j w_j V[:, j] (w already masked)."""
-    corr = jnp.einsum("dkn,dk->dn", V, w.astype(V.dtype))
+    corr = jnp.einsum("kdn,dk->dn", V, w.astype(V.dtype))
     return u - corr
 
 
@@ -123,7 +126,7 @@ def _replace_lucky(V, v_new, lucky, k, proj_dtype):
 
     Cost is paid only when a breakdown actually occurs (lax.cond).
     """
-    d, K, n = V.shape
+    K, d, n = V.shape
 
     def build(v_new):
         i = jnp.arange(n, dtype=V.dtype)
@@ -149,7 +152,7 @@ def _apply_writes(state: KrylovState, new: KrylovState, k, active):
     V_old_col = _col(state.V, k)
     V_new_col = _col(new.V, k)
     col = jnp.where(active, V_new_col, V_old_col)
-    V = lax.dynamic_update_slice_in_dim(new.V, col[:, None, :], k, axis=1)
+    V = lax.dynamic_update_slice_in_dim(new.V, col[None], k, axis=0)
     pick = lambda a, b: jnp.where(active, a, b)
     return KrylovState(V, pick(new.H, state.H), pick(new.btil, state.btil), pick(new.beta, state.beta))
 
@@ -163,7 +166,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     """
     V, H, btil, beta = state
     dtype = V.dtype
-    d, K, n = V.shape
+    K, d, n = V.shape
 
     v_prev = _col(V, k - 1)
     u = spmv(op, v_prev)
@@ -199,7 +202,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     v_new = u / safe.astype(dtype)[:, None]
     v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
 
-    V = lax.dynamic_update_slice_in_dim(V, v_new[:, None, :], k, axis=1)
+    V = lax.dynamic_update_slice_in_dim(V, v_new[None], k, axis=0)
     H = _set_entry(H, k - 1, k - 1, alpha)
     H = _set_entry(H, k, k - 1, beta_new)
     H = _set_entry(H, k - 1, k, beta_new)
@@ -216,7 +219,7 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     """
     V, H, btil, beta = state
     dtype = V.dtype
-    d, K, n = V.shape
+    K, d, n = V.shape
 
     v_prev = _col(V, k - 1)
     u = spmv(op, v_prev)
@@ -236,7 +239,7 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     v_new = u / safe.astype(dtype)[:, None]
     v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
 
-    V = lax.dynamic_update_slice_in_dim(V, v_new[:, None, :], k, axis=1)
+    V = lax.dynamic_update_slice_in_dim(V, v_new[None], k, axis=0)
     # write the whole Hessenberg column j = k-1: rows 0..k-1 from h, row k = h_new
     col = h + _set_vec_entry(jnp.zeros_like(h), k, h_new)  # (d, K)
     zero = jnp.zeros((), jnp.int32)
@@ -301,8 +304,8 @@ def orthogonality_loss(V: jax.Array, k, proj_dtype=jnp.float64) -> jax.Array:
     Diagnostic analogue of /root/reference/src/orthogonal_bases.jl:246-262.
     O(d·n·K²) — telemetry, not in the solver hot path by default.
     """
-    d, K, n = V.shape
-    G = jnp.einsum("dkn,dln->dkl", V, V, preferred_element_type=proj_dtype)
+    K, d, n = V.shape
+    G = jnp.einsum("kdn,ldn->dkl", V, V, preferred_element_type=proj_dtype)
     m = _prefix_mask(K, k, G.dtype)
     eye = jnp.eye(K, dtype=G.dtype)
     E = (G - eye) * m[None, :, None] * m[None, None, :]

@@ -310,7 +310,7 @@ def _finalize(final: _Carry, config: SolverConfig) -> SolveResult:
 
     # lift x_s = V_s[:, :k]^T Y_s → (d, n, t); Y rows ≥ k are already zero
     x_factors = jnp.einsum(
-        "dkn,dkt->dnt", final.state.V.astype(pdt), final.Y
+        "kdn,dkt->dnt", final.state.V.astype(pdt), final.Y
     )
     x = CPTensor(final.weights, x_factors)
 
@@ -427,7 +427,7 @@ def _init_state_jit(op, b, config):
 
 @functools.partial(jax.jit, static_argnames=())
 def _lift_jit(V, Y):
-    return jnp.einsum("dkn,dkt->dnt", V.astype(Y.dtype), Y)
+    return jnp.einsum("kdn,dkt->dnt", V.astype(Y.dtype), Y)
 
 
 def solve_host_projected(

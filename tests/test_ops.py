@@ -70,7 +70,7 @@ def test_lanczos_orthonormal_and_projects(reorth):
         op, b, kmax,
         lambda st, k: lanczos_step(op, st, jnp.asarray(b), k, reorth=reorth, proj_dtype=jnp.float64),
     )
-    V = np.asarray(state.V)[:, : kmax + 1, :]
+    V = np.asarray(state.V).transpose(1, 0, 2)[:, : kmax + 1, :]
     for s in range(d):
         G = V[s] @ V[s].T
         np.testing.assert_allclose(G, np.eye(kmax + 1), atol=1e-8)
@@ -92,7 +92,7 @@ def test_arnoldi_orthonormal_and_hessenberg():
         op, b, kmax,
         lambda st, k: arnoldi_step(op, st, jnp.asarray(b), k, proj_dtype=jnp.float64),
     )
-    V = np.asarray(state.V)[:, : kmax + 1, :]
+    V = np.asarray(state.V).transpose(1, 0, 2)[:, : kmax + 1, :]
     H = np.asarray(state.H)
     for s in range(d):
         np.testing.assert_allclose(V[s] @ V[s].T, np.eye(kmax + 1), atol=1e-10)
@@ -112,7 +112,7 @@ def test_lanczos_btil_tracks_rhs():
         op, b, kmax,
         lambda st, k: lanczos_step(op, st, jnp.asarray(b), k, reorth=True, proj_dtype=jnp.float64),
     )
-    V = np.asarray(state.V)
+    V = np.asarray(state.V).transpose(1, 0, 2)
     btil = np.asarray(state.btil)
     for s in range(d):
         np.testing.assert_allclose(btil[s], V[s] @ b[s], atol=1e-10)
