@@ -263,3 +263,4 @@ def test_cp_compress():
     xc = cp_compress(res.x)
     assert xc.rank < res.x.rank  # padded zero-weight columns dropped
     np.testing.assert_allclose(cp_full(xc), cp_full(res.x), rtol=1e-12, atol=1e-12)
+
