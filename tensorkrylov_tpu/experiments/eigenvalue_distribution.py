@@ -72,6 +72,30 @@ def perturb_eigenvalues(eigenvalues, d: int, eps: float) -> np.ndarray:
     return np.stack([ev + (s + 1) * eps for s in range(d)])
 
 
+def kronsum_spectrum_multiset(eigenvalues, d: int):
+    """Distinct Kronecker-sum eigenvalues for d IDENTICAL factors, as
+    (values, multiplicities) — the multiset-combination enumeration the
+    reference uses (possiblesums/EVC/EVReps,
+    /root/reference/src/eigenvalues.jl:208-224): C(n+d-1, d) entries instead
+    of n^d."""
+    import itertools
+    import math
+
+    ev = np.asarray(eigenvalues, dtype=np.float64)
+    n = len(ev)
+    values = []
+    counts = []
+    for combo in itertools.combinations_with_replacement(range(n), d):
+        values.append(ev[list(combo)].sum())
+        # multiplicity = multinomial coefficient d! / Π m_i!
+        mult = math.factorial(d)
+        for _, g in itertools.groupby(combo):
+            mult //= math.factorial(len(list(g)))
+        counts.append(mult)
+    order = np.argsort(values)
+    return np.asarray(values)[order], np.asarray(counts)[order]
+
+
 def kronsum_spectrum(per_factor: np.ndarray, limit: int = 2_000_000) -> np.ndarray:
     """Explicit spectrum of the Kronecker sum: all Σ_s λ^{(s)}_{i_s}
     (n^d values — histogram/analysis use only;
