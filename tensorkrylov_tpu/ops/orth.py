@@ -143,18 +143,13 @@ def _replace_lucky(V, v_new, lucky, k, proj_dtype):
     return lax.cond(jnp.any(lucky), build, lambda v: v, v_new)
 
 
-def _apply_writes(state: KrylovState, new: KrylovState, k, active):
-    """Commit a step's writes only when `active` (scalar bool) — frozen
-    vmap lanes rewrite their existing values, making the step a no-op
-    without putting the O(d·K·n) basis through a conditional."""
+def _gate_col(V, v_new, k, active):
+    """Column to write at slot k: the step's result, or (for frozen vmap
+    lanes) the existing value — gating BEFORE the single dynamic update so
+    the basis sees exactly one write per step."""
     if active is None:
-        return new
-    V_old_col = _col(state.V, k)
-    V_new_col = _col(new.V, k)
-    col = jnp.where(active, V_new_col, V_old_col)
-    V = lax.dynamic_update_slice_in_dim(new.V, col[None], k, axis=0)
-    pick = lambda a, b: jnp.where(active, a, b)
-    return KrylovState(V, pick(new.H, state.H), pick(new.btil, state.btil), pick(new.beta, state.beta))
+        return v_new
+    return jnp.where(active, v_new, _col(V, k))
 
 
 def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth: bool, proj_dtype, active=None):
@@ -201,15 +196,24 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     safe = jnp.where(beta_new > 0, beta_new, 1.0)
     v_new = u / safe.astype(dtype)[:, None]
     v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
+    v_write = _gate_col(V, v_new, k, active)
 
-    V = lax.dynamic_update_slice_in_dim(V, v_new[None], k, axis=0)
-    H = _set_entry(H, k - 1, k - 1, alpha)
-    H = _set_entry(H, k, k - 1, beta_new)
-    H = _set_entry(H, k - 1, k, beta_new)
-    btil = _set_vec_entry(
-        btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc).astype(proj_dtype)
-    )
-    return _apply_writes(state, KrylovState(V, H, btil, beta_new), k, active), loss
+    V = lax.dynamic_update_slice_in_dim(V, v_write[None], k, axis=0)
+    bt_new = jnp.einsum(
+        "dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc
+    ).astype(proj_dtype)
+    if active is not None:
+        keep = lambda new, old: jnp.where(active, new, old)
+        H_new = _set_entry(_set_entry(_set_entry(H, k - 1, k - 1, alpha), k, k - 1, beta_new), k - 1, k, beta_new)
+        H = keep(H_new, H)
+        btil = keep(_set_vec_entry(btil, k, bt_new), btil)
+        beta_new = keep(beta_new, beta)
+    else:
+        H = _set_entry(H, k - 1, k - 1, alpha)
+        H = _set_entry(H, k, k - 1, beta_new)
+        H = _set_entry(H, k - 1, k, beta_new)
+        btil = _set_vec_entry(btil, k, bt_new)
+    return KrylovState(V, H, btil, beta_new), loss
 
 
 def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, proj_dtype, active=None):
@@ -238,17 +242,26 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     safe = jnp.where(h_new > 0, h_new, 1.0)
     v_new = u / safe.astype(dtype)[:, None]
     v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
+    v_write = _gate_col(V, v_new, k, active)
 
-    V = lax.dynamic_update_slice_in_dim(V, v_new[None], k, axis=0)
+    V = lax.dynamic_update_slice_in_dim(V, v_write[None], k, axis=0)
     # write the whole Hessenberg column j = k-1: rows 0..k-1 from h, row k = h_new
     col = h + _set_vec_entry(jnp.zeros_like(h), k, h_new)  # (d, K)
     zero = jnp.zeros((), jnp.int32)
-    H = lax.dynamic_update_slice(H, col[:, :, None], (zero, zero, jnp.asarray(k - 1, jnp.int32)))
-    btil = _set_vec_entry(
-        btil, k, jnp.einsum("dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc).astype(proj_dtype)
-    )
+    H_new = lax.dynamic_update_slice(H, col[:, :, None], (zero, zero, jnp.asarray(k - 1, jnp.int32)))
+    bt_new = jnp.einsum(
+        "dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc
+    ).astype(proj_dtype)
+    if active is not None:
+        keep = lambda new, old: jnp.where(active, new, old)
+        H = keep(H_new, H)
+        btil = keep(_set_vec_entry(btil, k, bt_new), btil)
+        h_new = keep(h_new, beta)
+    else:
+        H = H_new
+        btil = _set_vec_entry(btil, k, bt_new)
     loss = jnp.linalg.norm(w2)
-    return _apply_writes(state, KrylovState(V, H, btil, h_new), k, active), loss
+    return KrylovState(V, H, btil, h_new), loss
 
 
 def _set_entry(H, i, j, vals):
