@@ -224,29 +224,20 @@ def masked_eigh_tridiag_mixed(
     Wm = Wm.at[:, idx[1:] - 1, idx[1:]].set(sub[:, 1:].astype(jnp.float32))
     w32, Q32 = jnp.linalg.eigh(Wm)
 
-    # 2. refine eigenvalues with Sturm bisection in f64
-    half = (64.0 * jnp.finfo(jnp.float32).eps) * jnp.maximum(gersh_hi, 1.0)
-    lo = w32.astype(pdt) - half
-    hi = w32.astype(pdt) + half
-    e2 = (sub * sub)
-    targets = idx[None, :]
-    maskd = jnp.broadcast_to(m[None, :], (d, K))
+    # 2. f64 Rayleigh-quotient refinement of the seed eigenvalues —
+    # fully vectorized (reductions only; a Sturm-bisection refinement is
+    # latency-bound on TPU: ~30 rounds × K sequential recurrence steps)
+    def rayleigh(Qcols):  # Qcols: (d, K rows, j) f64, assumed unit columns
+        Tq_diag = diag[:, :, None] * Qcols
+        Tq_up = jnp.concatenate([sub[:, 1:, None] * Qcols[:, 1:, :], jnp.zeros((d, 1, K), pdt)], axis=1)
+        Tq_dn = jnp.concatenate([jnp.zeros((d, 1, K), pdt), sub[:, 1:, None] * Qcols[:, :-1, :]], axis=1)
+        Tq = Tq_diag + Tq_up + Tq_dn
+        return jnp.sum(Qcols * Tq, axis=1)  # (d, j)
 
-    def refine(_, carry):
-        lo_i, hi_i = carry
-        mid = 0.5 * (lo_i + hi_i)
-        cnt = _sturm_count(
-            jnp.broadcast_to(diag[:, None, :], (d, K, K)),
-            jnp.broadcast_to(e2[:, None, :], (d, K, K)),
-            mid[..., None],
-            jnp.broadcast_to(maskd[:, None, :], (d, K, K)),
-        )
-        go_right = cnt <= targets
-        return (jnp.where(go_right, mid, lo_i), jnp.where(go_right, hi_i, mid))
-
-    # bisection halves the eps32-wide bracket; ~25 rounds reaches eps64 width
-    lo, hi = lax.fori_loop(0, 25 + n_refine, refine, (lo, hi))
-    w = 0.5 * (lo + hi)
+    Q64 = Q32.astype(pdt)
+    nrm0 = jnp.sqrt(jnp.sum(Q64 * Q64, axis=1, keepdims=True))
+    Q64 = Q64 / jnp.where(nrm0 > 0, nrm0, 1.0)
+    w = rayleigh(Q64)
 
     # 3. one inverse-iteration step per eigenpair in f64
     # lanes: (d, K) eigenpairs, each solving a K-row tridiagonal system
@@ -255,12 +246,17 @@ def masked_eigh_tridiag_mixed(
     csup_l = jnp.broadcast_to(
         jnp.concatenate([sub[:, 1:], jnp.zeros((d, 1), pdt)], 1)[:, None, :], bd.shape
     )
-    rhs = jnp.swapaxes(Q32.astype(pdt), 1, 2)                  # (d, j, K rows)
+    rhs = jnp.swapaxes(Q64, 1, 2)                              # (d, j, K rows)
     mask_l = jnp.broadcast_to(m[None, None, :], bd.shape)
     x = _thomas_solve(bd, asub_l, csup_l, rhs, mask_l)
     nrm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
     x = x / jnp.where(nrm > 0, nrm, 1.0)
     Q = jnp.swapaxes(x, 1, 2)                                  # (d, K rows, j)
+    # second Rayleigh quotient from the refined vectors → eigenvalues to
+    # ~(vector error)² i.e. full f64 for well-separated pairs; clustered
+    # pairs keep small residual ‖Tq − λq‖, which is what matrix-function
+    # accuracy needs
+    w = rayleigh(Q)
     # restore padded-block eigenvectors exactly (decoupled identity block)
     pad_cols = (jnp.arange(K)[None, :] >= k).astype(pdt)
     eye = jnp.eye(K, dtype=pdt)
