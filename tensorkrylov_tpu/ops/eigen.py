@@ -180,7 +180,7 @@ def _thomas_solve(bdiag, asub, csup, rhs, mask):
 
 
 def masked_eigh_tridiag_mixed(
-    H: jax.Array, k, n_refine: int = 4
+    H: jax.Array, k, refine_vectors: bool = True
 ) -> Tuple[jax.Array, jax.Array]:
     """eigh of the active k×k blocks of SYMMETRIC TRIDIAGONAL matrices stored
     in padded (d, K, K) form — f64 results without LAPACK-style f64 eigh
@@ -239,24 +239,29 @@ def masked_eigh_tridiag_mixed(
     Q64 = Q64 / jnp.where(nrm0 > 0, nrm0, 1.0)
     w = rayleigh(Q64)
 
-    # 3. one inverse-iteration step per eigenpair in f64
-    # lanes: (d, K) eigenpairs, each solving a K-row tridiagonal system
-    bd = diag[:, None, :] - w[:, :, None]                      # (d, j, K rows)
-    asub_l = jnp.broadcast_to(sub[:, None, :], bd.shape)
-    csup_l = jnp.broadcast_to(
-        jnp.concatenate([sub[:, 1:], jnp.zeros((d, 1), pdt)], 1)[:, None, :], bd.shape
-    )
-    rhs = jnp.swapaxes(Q64, 1, 2)                              # (d, j, K rows)
-    mask_l = jnp.broadcast_to(m[None, None, :], bd.shape)
-    x = _thomas_solve(bd, asub_l, csup_l, rhs, mask_l)
-    nrm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    x = x / jnp.where(nrm > 0, nrm, 1.0)
-    Q = jnp.swapaxes(x, 1, 2)                                  # (d, K rows, j)
-    # second Rayleigh quotient from the refined vectors → eigenvalues to
-    # ~(vector error)² i.e. full f64 for well-separated pairs; clustered
-    # pairs keep small residual ‖Tq − λq‖, which is what matrix-function
-    # accuracy needs
-    w = rayleigh(Q)
+    if refine_vectors:
+        # 3. one inverse-iteration step per eigenpair in f64 (the only
+        # sequential part — a batched Thomas solve over K rows). Skip when
+        # the caller's basis is ≤ f32: the f32-seed vectors are already at
+        # the precision of the data feeding H.
+        bd = diag[:, None, :] - w[:, :, None]                  # (d, j, K rows)
+        asub_l = jnp.broadcast_to(sub[:, None, :], bd.shape)
+        csup_l = jnp.broadcast_to(
+            jnp.concatenate([sub[:, 1:], jnp.zeros((d, 1), pdt)], 1)[:, None, :], bd.shape
+        )
+        rhs = jnp.swapaxes(Q64, 1, 2)                          # (d, j, K rows)
+        mask_l = jnp.broadcast_to(m[None, None, :], bd.shape)
+        x = _thomas_solve(bd, asub_l, csup_l, rhs, mask_l)
+        nrm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        x = x / jnp.where(nrm > 0, nrm, 1.0)
+        Q = jnp.swapaxes(x, 1, 2)                              # (d, K rows, j)
+        # second Rayleigh quotient from the refined vectors → eigenvalues to
+        # ~(vector error)² i.e. full f64 for well-separated pairs; clustered
+        # pairs keep small residual ‖Tq − λq‖, which is what matrix-function
+        # accuracy needs
+        w = rayleigh(Q)
+    else:
+        Q = Q64
     # restore padded-block eigenvectors exactly (decoupled identity block)
     pad_cols = (jnp.arange(K)[None, :] >= k).astype(pdt)
     eye = jnp.eye(K, dtype=pdt)

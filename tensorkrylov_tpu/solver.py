@@ -119,9 +119,15 @@ def projected_step(
     eig_d = 1 if config.identical_factors else d
 
     # eigh of tridiagonal H via the mixed-precision solver when requested
-    # (valid only for the Lanczos path, where H is tridiag by construction)
+    # (valid only for the Lanczos path, where H is tridiag by construction);
+    # f64 eigenvector refinement only pays off when the basis itself is f64
     use_tridiag = config.eigh_impl == "tridiag_mixed" and config.orth != "arnoldi"
-    eig_H = masked_eigh_tridiag_mixed if use_tridiag else masked_eigh
+    refine_vecs = config.basis_dtype == jnp.float64
+    eig_H = (
+        functools.partial(masked_eigh_tridiag_mixed, refine_vectors=refine_vecs)
+        if use_tridiag
+        else masked_eigh
+    )
 
     if symmetric:
         if config.spectral_source != "A_minor":
