@@ -87,7 +87,8 @@ def _bench_solver_iterations(tk, jax, jnp):
     from tensorkrylov_tpu.types import SolverConfig
 
     d, n = 5, 4096
-    cfg = SolverConfig(kmax=64, tol=1e-30)  # force kmax iterations
+    # force kmax iterations; production cadence (check_every=8)
+    cfg = SolverConfig(kmax=64, tol=1e-30, check_every=8, identical_factors=True)
     op = tk.laplace(d, n)
     b = tk.random_rhs(d, n, seed=0)
     b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
