@@ -59,26 +59,40 @@ def cp_gram_matrices(Hm, Ym):
 
 
 def mv_norm_sq(Gy, Gz, X, weights):
-    """‖H y‖² via the transfer scan. Reference: MVnorm,
-    /root/reference/src/utils.jl:255-324 (O(d²t²) there, O(dt²) here)."""
-    t = Gy.shape[1]
-    zeros = jnp.zeros((t, t), Gy.dtype)
+    """‖H y‖² via the transfer composition over modes. Reference: MVnorm,
+    /root/reference/src/utils.jl:255-324 (O(d²t²) there; O(dt²) work and
+    O(log d) depth here).
 
-    def body(carry, mats):
-        p, pa, pb, pc, pab = carry
-        g, c, x = mats              # Gy_m, Gz_m, X_m
-        a = x.T                     # <H y_i, y_j> — H on left (term index s=m)
-        b = x                       # <y_i, H y_j> — H on right (term r=m)
-        pab = pab * g + pa * b + pb * a
-        pa = pa * g + p * a
-        pb = pb * g + p * b
-        pc = pc * g + p * c
-        p = p * g
-        return (p, pa, pb, pc, pab), None
+    Per mode m the carry map (p, pa, pb, pc, pab) → ... is linear with
+    elementwise t×t coefficients; compositions stay in the closed family
+    (g, a, b, c, e) with
 
-    init = (jnp.ones((t, t), Gy.dtype), zeros, zeros, zeros, zeros)
-    (p, pa, pb, pc, pab), _ = lax.scan(body, init, (Gy, Gz, X))
-    T = pab + pc
+        g12 = g2∘g1                 (p path)
+        a12 = a2∘g1 + g2∘a1         (p → pa)
+        b12 = b2∘g1 + g2∘b1         (p → pb)
+        c12 = c2∘g1 + g2∘c1         (p → pc)
+        e12 = b2∘a1 + a2∘b1 + g2∘e1 + e2∘g1 (p → pab)
+
+    — an associative combine, evaluated with lax.associative_scan so the
+    d-mode reduction is log-depth (a sequential scan is latency-bound on
+    TPU at large d)."""
+    a_all = jnp.swapaxes(X, 1, 2)   # <H y_i, y_j> — H on left (term s=m)
+    b_all = X                       # <y_i, H y_j> — H on right (term r=m)
+    e_all = jnp.zeros_like(Gy)
+
+    def combine(m1, m2):
+        g1, a1, b1, c1, e1 = m1
+        g2, a2, b2, c2, e2 = m2
+        return (
+            g2 * g1,
+            a2 * g1 + g2 * a1,
+            b2 * g1 + g2 * b1,
+            c2 * g1 + g2 * c1,
+            b2 * a1 + a2 * b1 + g2 * e1 + e2 * g1,
+        )
+
+    g, a, b, c, e = lax.associative_scan(combine, (Gy, a_all, b_all, Gz, e_all))
+    T = e[-1] + c[-1]  # applied to the init (p=1, rest 0)
     return weights @ T @ weights
 
 
@@ -90,17 +104,13 @@ def tensor_inner_prod(Ym, Z, btil_m, weights):
     g = jnp.einsum("dkt,dk->dt", Ym, btil_m)  # <y_i, b̃>_m
     a = jnp.einsum("dkt,dk->dt", Z, btil_m)   # <H y_i, b̃>_m
 
-    t = g.shape[1]
+    def combine(m1, m2):
+        g1, a1 = m1
+        g2, a2 = m2
+        return (g2 * g1, a2 * g1 + g2 * a1)
 
-    def body(carry, vecs):
-        q, qa = carry
-        gm, am = vecs
-        qa = qa * gm + q * am
-        q = q * gm
-        return (q, qa), None
-
-    (q, qa), _ = lax.scan(body, (jnp.ones((t,), g.dtype), jnp.zeros((t,), g.dtype)), (g, a))
-    return weights @ qa
+    gc, ac = lax.associative_scan(combine, (g, a))
+    return weights @ ac[-1]
 
 
 def excluded_products(Gy):

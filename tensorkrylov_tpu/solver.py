@@ -171,20 +171,33 @@ def projected_step(
         if config.identical_factors:
             w = jnp.broadcast_to(w, (d, K))
         lmin, lmax = sym_extremes_from_eigs(w)
-        # ε target: 'kappa' certifies the residual (ε·κ ≤ tol, with the
-        # Gershgorin row bound standing in for λ_max of a nonsym H);
-        # 'reference' reproduces tol·λ_min (y-error target,
-        # /root/reference/src/approximation.jl:86-107)
-        gersh = jnp.sum(jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1))
+        # ε target: 'kappa' certifies the residual (ε·κ ≤ tol, with ‖H‖₂
+        # estimated by a few power iterations on HᵀH — much tighter than a
+        # Gershgorin row bound); 'reference' reproduces tol·λ_min (y-error
+        # target, /root/reference/src/approximation.jl:86-107)
+        m = (jnp.arange(K) < k).astype(pdt)
+        Hm_norm = H * m[None, :, None] * m[None, None, :]
+        v_pi = jnp.broadcast_to(m / jnp.sqrt(jnp.maximum(jnp.sum(m), 1.0)), (d, K))
+
+        def power_body(_, v):
+            u = jnp.einsum("dij,dj->di", Hm_norm, v)
+            u = jnp.einsum("dji,dj->di", Hm_norm, u)
+            return u / jnp.maximum(
+                jnp.linalg.norm(u, axis=1, keepdims=True), 1e-300
+            )
+
+        v_pi = lax.fori_loop(0, 8, power_body, v_pi)
+        u = jnp.einsum("dij,dj->di", Hm_norm, v_pi)
+        signorm = jnp.sum(jnp.linalg.norm(u, axis=1))  # Σ_s ‖H_s‖₂ (≥ λ_max of Σ⊕H_s)
         if config.coeff_tol_scale == "kappa":
-            eps_target = config.tol * lmin / gersh
+            eps_target = config.tol * lmin / signorm
         else:
             eps_target = config.tol * lmin
         coeffs = select_stenger(eps_target, tmax, pdt)
         weights, Y = cp_solve_nonsym(
             H, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
         )
-        kappa_eff = gersh / lmin
+        kappa_eff = signorm / lmin
 
     terms = residual_norm_sq(H, Y, btil, k, weights, subdiag)
     eps = jnp.finfo(pdt).eps

@@ -16,7 +16,7 @@ from tensorkrylov_tpu.ops.gram import (
 )
 
 
-def _dense_setup(rng, d=3, K=8, tmax=5, k=6, t=3, sym=True):
+def _dense_setup(rng, d=5, K=8, tmax=5, k=6, t=3, sym=True):
     H = rng.standard_normal((d, K, K))
     if sym:
         H = (H + H.transpose(0, 2, 1)) / 2
