@@ -44,12 +44,14 @@ def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=200, dtype=None):
     m1, m2 = iters, 4 * iters
 
     def timed(m):
-        g = jax.jit(lambda o, x: many(o, x, m))
-        g(op, v).block_until_ready()  # compile
+        # sync via a scalar VALUE FETCH — block_until_ready through remote
+        # device links can return before execution completes
+        g = jax.jit(lambda o, x: jnp.sum(many(o, x, m)[:, :: 1 << 12]))
+        float(g(op, v))  # compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            g(op, v).block_until_ready()
+            float(g(op, v))
             best = min(best, time.perf_counter() - t0)
         return best
 
