@@ -207,7 +207,7 @@ def projected_step(
     # ε·x on the scaled spectrum [1, κ]) — certifies residuals below the
     # ~√eps floor where the reference's estimator aborts.
     r_comp_bound = coeffs.err * kappa_eff * b_norm_prod
-    cancel_floor = 16.0 * eps * terms.cancel_scale
+    cancel_floor = config.cancel_floor_rel * eps * terms.cancel_scale
     r_comp_sq_eff = jnp.where(
         terms.r_comp_sq > cancel_floor,
         terms.r_comp_sq,

@@ -187,6 +187,10 @@ class SolverConfig:
     # /root/reference/src/utils.jl:395) is clamped to zero and iteration
     # continues on the boundary terms.
     breakdown_rel: float = 256.0
+    # width of the cancellation noise band for the compressed residual:
+    # computed r_comp² below cancel_floor_rel·eps·(‖Hy‖²+‖b̃‖²) is treated as
+    # roundoff and replaced by min(computed + band, analytic ε·κ bound)
+    cancel_floor_rel: float = 64.0
 
     def __post_init__(self):
         assert self.orth in ("lanczos", "lanczos_reorth", "arnoldi"), self.orth
