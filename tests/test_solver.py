@@ -264,3 +264,28 @@ def test_cp_compress():
     assert xc.rank < res.x.rank  # padded zero-weight columns dropped
     np.testing.assert_allclose(cp_full(xc), cp_full(res.x), rtol=1e-12, atol=1e-12)
 
+
+
+def test_monotone_Anorm_error():
+    """Galerkin property: the A-norm error is non-increasing in the subspace
+    size (the reference intended but never ran this check,
+    /root/reference/test/test_utils.jl:192-247)."""
+    from tensorkrylov_tpu.utils.cp import cp_full, kron_matvec_dense
+    from tensorkrylov_tpu.models.gallery import bands_to_dense
+
+    d, n = 2, 12
+    op = tk.laplace(d, n)
+    b = _normalized_rhs(d, n, 25)
+    # dense exact solution
+    A1 = np.asarray(bands_to_dense(op))
+    Afull = np.kron(A1[0], np.eye(n)) + np.kron(np.eye(n), A1[1])
+    bfull = np.kron(np.asarray(b)[0], np.asarray(b)[1])
+    xstar = np.linalg.solve(Afull, bfull)
+
+    errs = []
+    for kmax in (2, 4, 6, 8, 10):
+        res = tk.solve(op, b, SolverConfig(kmax=kmax, tol=1e-14, tmax=201))
+        e = cp_full(res.x) - xstar
+        errs.append(float(np.sqrt(e @ (Afull @ e))))
+    for a, bb in zip(errs, errs[1:]):
+        assert bb <= a * (1 + 1e-6), errs
