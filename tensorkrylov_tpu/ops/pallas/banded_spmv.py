@@ -78,7 +78,7 @@ def _spmv_pallas(bands, v, offsets: Tuple[int, ...], tile: int):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((d, nb, tile), lambda ti: (0, 0, ti), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((d, tile), lambda ti: (0, ti), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, n), v.dtype),

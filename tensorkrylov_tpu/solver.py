@@ -108,11 +108,16 @@ def projected_step(
     symmetric: bool,
     n: int,
     W_A: Optional[jax.Array] = None,
+    lmin_override: Optional[jax.Array] = None,
 ) -> ProjectedEval:
     """Spectral estimation → exp-sum coefficient selection → CP solve →
     Lemma-3.4 residual. Pure jnp: runs traced inside the device while_loop
     AND eagerly on the host CPU backend (host_projected mode) — single source
-    of truth for the projected stage."""
+    of truth for the projected stage.
+
+    lmin_override: optional exact λ_min of the projected Kronecker sum
+    (host-computed nonsymmetric eigenvalues — tighter than the in-jit
+    Bendixson bound; see solve_host_projected)."""
     d, K, _ = H.shape
     tmax = config.tmax
     pdt = config.proj_dtype
@@ -171,6 +176,10 @@ def projected_step(
         if config.identical_factors:
             w = jnp.broadcast_to(w, (d, K))
         lmin, lmax = sym_extremes_from_eigs(w)
+        if lmin_override is not None:
+            # exact min-real-part spectrum from the host (≥ Bendixson) →
+            # larger ε target → fewer Stenger terms
+            lmin = jnp.maximum(lmin, jnp.asarray(lmin_override, pdt))
         # ε target: 'kappa' certifies the residual (ε·κ ≤ tol, with ‖H‖₂
         # estimated by a few power iterations on HᵀH — much tighter than a
         # Gershgorin row bound); 'reference' reproduces tol·λ_min (y-error
@@ -512,6 +521,19 @@ def solve_host_projected(
         )
         H_np = np.asarray(state.H)
         btil_np = np.asarray(state.btil)
+        lmin_exact = None
+        if not op.symmetric:
+            # exact projected spectrum (host LAPACK, like the reference's
+            # in-loop eigvals at /root/reference/src/eigenvalues.jl:344-350,
+            # but of H minors and over all factors): λ_min(Σ⊕H_s) =
+            # Σ_s min Re λ(H_s[:k,:k]) — tighter than the in-jit Bendixson
+            # bound, so the Stenger rank drops
+            eig_d = 1 if config.identical_factors else d
+            mins = [
+                np.min(np.linalg.eigvals(H_np[s, :k_end, :k_end]).real)
+                for s in range(eig_d)
+            ]
+            lmin_exact = float(np.sum(mins)) * (d // eig_d)
         with jax.default_device(cpu):
             ev = projected_step(
                 jnp.asarray(H_np),
@@ -524,6 +546,7 @@ def solve_host_projected(
                 op.symmetric,
                 n,
                 W_A,
+                lmin_exact,
             )
         rel = float(ev.rel)
         hist["rel_res"][k_end] = rel

@@ -289,3 +289,27 @@ def test_monotone_Anorm_error():
         errs.append(float(np.sqrt(e @ (Afull @ e))))
     for a, bb in zip(errs, errs[1:]):
         assert bb <= a * (1 + 1e-6), errs
+
+
+def test_host_projected_nonsym_exact_lmin():
+    """Nonsym host-projected mode uses exact host eigenvalues for λ_min —
+    the chosen Stenger rank must not exceed the device (Bendixson-bound)
+    rank, and the solve still certifies the true residual."""
+    from tensorkrylov_tpu.solver import solve_host_projected
+
+    op = tk.conv_diff(3, 30)
+    b = _normalized_rhs(3, 30, 26)
+    cfg = SolverConfig(kmax=30, tol=1e-6, orth="arnoldi", tmax=151, check_every=5)
+    r_dev = tk.solve(op, b, cfg)
+    r_host = solve_host_projected(op, b, cfg)
+    assert tk.kron_residual_dense(op, r_host.x, np.asarray(b)) < 1e-6
+    ni_h = int(r_host.niterations)
+    ni_d = int(r_dev.niterations)
+    # exact λ_min ≥ Bendixson bound → same-or-smaller exp-sum rank at the
+    # common checked iteration, and convergence at least as early
+    assert ni_h <= ni_d
+    k_common = min(ni_h, ni_d)
+    t_h = int(np.asarray(r_host.expsum_rank)[k_common])
+    t_d = int(np.asarray(r_dev.expsum_rank)[k_common])
+    if t_h and t_d:
+        assert t_h <= t_d, (t_h, t_d)
