@@ -8,6 +8,7 @@ for JAX/XLA/Pallas; capability reference: thbake/TensorKrylov.jl
 """
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
 from .solver import solve, solve_multi_rhs
+from .block import solve_block
 from .system import TensorizedSystem, random_rhs, solve_tensorized_system
 from .models import gallery
 from .models.gallery import (
@@ -27,6 +28,7 @@ __all__ = [
     "Status",
     "solve",
     "solve_multi_rhs",
+    "solve_block",
     "TensorizedSystem",
     "random_rhs",
     "solve_tensorized_system",

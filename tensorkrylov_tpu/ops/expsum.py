@@ -30,28 +30,33 @@ __all__ = ["cp_solve_sym", "cp_solve_nonsym", "expm_taylor_ss"]
 def cp_solve_sym(
     w: jax.Array,        # (d, K) eigenvalues of padded H_s minors
     Q: jax.Array,        # (d, K, K) eigenvectors
-    btil: jax.Array,     # (d, K) compressed RHS
+    btil: jax.Array,     # (d, K) compressed RHS, or (d, K, R) rank-R block
     k,                   # active size
     omega: jax.Array,    # (tmax,) exp-sum weights (masked 0 beyond rank)
     alpha: jax.Array,    # (tmax,) exp-sum exponents (masked 0 beyond rank)
     t_mask: jax.Array,   # (tmax,) 1.0 for active terms
     lam_min: jax.Array,  # scalar: λ_min of the projected Kronecker sum
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (weights (tmax,), factors (d, K, tmax)) of the CP solution.
+    """Returns (weights (tmax·R,), factors (d, K, tmax·R)) of the CP
+    solution (R = 1 for the scalar rank-1 RHS path).
 
-    factors[s, :, j] = exp(−(α_j/λ_min) H_s) b̃_s, computed as
+    factors[s, :, j·R+r] = exp(−(α_j/λ_min) H_s) b̃_{s,r}, computed as
     Q (exp(−w α_j/λ_min) ∘ (Qᵀ b̃)) — exact for the active block because the
     padding is decoupled and b̃ is zero on padded rows.
     """
     K = w.shape[1]
+    if btil.ndim == 2:
+        btil = btil[:, :, None]
+    R = btil.shape[2]
     m = (jnp.arange(K) < k).astype(btil.dtype)
-    btil_m = btil * m[None, :]
-    g = jnp.einsum("dkj,dk->dj", Q, btil_m)                  # Qᵀ b̃, (d, K)
+    btil_m = btil * m[None, :, None]
+    g = jnp.einsum("dkj,dkr->djr", Q, btil_m)                # Qᵀ b̃, (d, K, R)
     # exponents: (d, K, tmax); clamp to avoid overflow on padded/masked slots
     ex = jnp.exp(-jnp.clip(w[:, :, None] * (alpha / lam_min)[None, None, :], -700.0, 700.0))
-    factors = jnp.einsum("dkj,djt->dkt", Q, ex * g[:, :, None])
-    factors = factors * t_mask[None, None, :]
-    weights = (omega / lam_min) * t_mask
+    factors = jnp.einsum("dkj,djt,djr->dktr", Q, ex, g)      # (d, K, tmax, R)
+    factors = factors * t_mask[None, None, :, None]
+    factors = factors.reshape(factors.shape[0], K, -1)
+    weights = jnp.repeat((omega / lam_min) * t_mask, R)
     return weights, factors
 
 
@@ -86,7 +91,7 @@ def expm_taylor_ss(A: jax.Array, order: int = 18, max_squarings: int = 32) -> ja
 
 def cp_solve_nonsym(
     H: jax.Array,        # (d, K, K) Hessenberg factors (padded)
-    btil: jax.Array,     # (d, K)
+    btil: jax.Array,     # (d, K) or (d, K, R) rank-R block
     k,
     omega: jax.Array,    # (tmax,)
     alpha: jax.Array,    # (tmax,)
@@ -96,31 +101,37 @@ def cp_solve_nonsym(
     """Nonsymmetric projected solve: scan the t exponential terms, each a
     batched (over d) LU-free expm. Reference: the dense `exp` path at
     /root/reference/src/utils.jl:501-523 (which assumes identical factors;
-    we batch over distinct factors).
+    we batch over distinct factors). Returns (weights (tmax·R,),
+    factors (d, K, tmax·R)); R = 1 for the scalar path.
     """
     d, K, _ = H.shape
     tmax = alpha.shape[0]
+    if btil.ndim == 2:
+        btil = btil[:, :, None]
+    R = btil.shape[2]
     m = (jnp.arange(K) < k).astype(H.dtype)
     Hm = H * m[None, :, None] * m[None, None, :]
-    btil_m = btil * m[None, :]
+    btil_m = btil * m[None, :, None]
     n_terms = jnp.sum(t_mask).astype(jnp.int32)
 
     def term(carry):
         factors, j = carry
         gamma = -alpha[j] / lam_min
         E = expm_taylor_ss(Hm * gamma)
-        col = jnp.einsum("dij,dj->di", E, btil_m)
+        cols = jnp.einsum("dij,djr->dir", E, btil_m)  # (d, K, R)
         factors = lax.dynamic_update_slice(
-            factors, col[:, :, None], (jnp.zeros((), jnp.int32),) * 2 + (j,)
+            factors, cols[:, :, None, :],
+            (jnp.zeros((), jnp.int32),) * 2 + (j, jnp.zeros((), jnp.int32)),
         )
         return factors, j + 1
 
     # while_loop (not scan): only the ACTIVE terms pay their expm — with a
     # large tmax grid the masked tail would otherwise dominate the check
-    factors0 = jnp.zeros((d, K, tmax), H.dtype)
+    factors0 = jnp.zeros((d, K, tmax, R), H.dtype)
     factors, _ = lax.while_loop(
         lambda c: c[1] < n_terms, term, (factors0, jnp.zeros((), jnp.int32))
     )
-    factors = factors * t_mask[None, None, :]
-    weights = (omega / lam_min) * t_mask
+    factors = factors * t_mask[None, None, :, None]
+    factors = factors.reshape(d, K, tmax * R)
+    weights = jnp.repeat((omega / lam_min) * t_mask, R)
     return weights, factors

@@ -45,7 +45,10 @@ def _mask_yz(H, Y, btil, k):
     m = (jnp.arange(K) < k).astype(H.dtype)
     Hm = H * m[None, :, None] * m[None, None, :]
     Ym = Y * m[None, :, None]
-    btil_m = btil * m[None, :]
+    if btil.ndim == 2:
+        btil_m = btil * m[None, :]
+    else:  # block RHS (d, K, R)
+        btil_m = btil * m[None, :, None]
     return Hm, Ym, btil_m
 
 
@@ -99,10 +102,12 @@ def mv_norm_sq(Gy, Gz, X, weights):
 def tensor_inner_prod(Ym, Z, btil_m, weights):
     """⟨H y, b̃⟩ via the single-excluded-index scan. Reference:
     tensorinnerprod, /root/reference/src/utils.jl:326-368 (which hard-codes
-    b̃ = ‖b‖e₁; we use the actual b̃ vectors, supporting drift and general
-    starting vectors)."""
-    g = jnp.einsum("dkt,dk->dt", Ym, btil_m)  # <y_i, b̃>_m
-    a = jnp.einsum("dkt,dk->dt", Z, btil_m)   # <H y_i, b̃>_m
+    b̃ = ‖b‖e₁; we use the actual b̃ vectors, supporting drift, general
+    starting vectors, and rank-R block RHS b̃ (d, K, R))."""
+    if btil_m.ndim == 2:
+        btil_m = btil_m[:, :, None]
+    g = jnp.einsum("dkt,dkr->dtr", Ym, btil_m)  # <y_i, b̃_r>_m
+    a = jnp.einsum("dkt,dkr->dtr", Z, btil_m)   # <H y_i, b̃_r>_m
 
     def combine(m1, m2):
         g1, a1 = m1
@@ -110,7 +115,7 @@ def tensor_inner_prod(Ym, Z, btil_m, weights):
         return (g2 * g1, a2 * g1 + g2 * a1)
 
     gc, ac = lax.associative_scan(combine, (g, a))
-    return weights @ ac[-1]
+    return weights @ jnp.sum(ac[-1], axis=1)
 
 
 def excluded_products(Gy):
@@ -136,24 +141,37 @@ def residual_norm_sq(H, Y, btil, k, weights, subdiag) -> ResidualTerms:
     /root/reference/src/utils.jl:402-443.
 
     Args:
-      H: (d, K, K) projected factors (padded). Y: (d, K, tmax) CP factors
-      (masked columns). btil: (d, K). k: active size. weights: (tmax,).
-      subdiag: (d,) entries h^{(s)}_{k+1,k}.
+      H: (d, K, K) projected factors (padded). Y: (d, K, T) CP factors
+      (masked columns). btil: (d, K) or block (d, K, R). k: active column
+      count. weights: (T,).
+      subdiag: (d,) entries h^{(s)}_{k+1,k}, or the block-Krylov boundary
+      blocks (d, R, R) = H_s[k:k+R, k-R:k] (scalar case is R = 1).
     """
     Hm, Ym, btil_m = _mask_yz(H, Y, btil, k)
     Z, Gy, Gz, X = cp_gram_matrices(Hm, Ym)
 
     hy2 = mv_norm_sq(Gy, Gz, X, weights)
     ip = tensor_inner_prod(Ym, Z, btil_m, weights)
-    b2 = jnp.prod(jnp.sum(btil_m * btil_m, axis=1))
+    if btil_m.ndim == 2:
+        b2 = jnp.prod(jnp.sum(btil_m * btil_m, axis=1))
+    else:
+        # ‖Σ_r ⊗_s b̃_{s,r}‖² = Σ_{r,q} Π_s ⟨b̃_{s,r}, b̃_{s,q}⟩
+        Gb = jnp.einsum("dkr,dkq->drq", btil_m, btil_m)
+        b2 = jnp.sum(jnp.prod(Gb, axis=0))
     r_comp_sq = hy2 - 2.0 * ip + b2
 
-    # boundary terms: y's k-th slice in mode s across all ranks
-    yrow = lax.dynamic_slice_in_dim(Y, k - 1, 1, axis=1)[:, 0, :]  # (d, tmax)
-    E = excluded_products(Gy)                                       # (d, t, t)
-    outer = yrow[:, :, None] * yrow[:, None, :]                     # (d, t, t)
-    per_mode = jnp.einsum("i,dij,j->d", weights, outer * E, weights)
-    boundary = jnp.sum(subdiag * subdiag * per_mode)
+    # boundary terms: the trailing R-row slice of y in mode s across all
+    # ranks, weighted by the boundary block Gram BᵀB (block Lemma 3.4:
+    # A_s V_s = V_s H_s + Q_s B_s E_Rᵀ with Q_s ⟂ V_s orthonormal)
+    if subdiag.ndim == 1:
+        subdiag = subdiag[:, None, None]  # (d, 1, 1)
+    R = subdiag.shape[1]
+    yrows = lax.dynamic_slice_in_dim(Y, k - R, R, axis=1)           # (d, R, T)
+    M = jnp.einsum("dri,drj->dij", subdiag, subdiag)                # BᵀB (d, R, R)
+    bg = jnp.einsum("drt,drq,dqu->dtu", yrows, M, yrows)            # (d, T, T)
+    E = excluded_products(Gy)                                       # (d, T, T)
+    per_mode = jnp.einsum("i,dij,j->d", weights, bg * E, weights)
+    boundary = jnp.sum(per_mode)
 
     r_comp_clamped = jnp.maximum(r_comp_sq, 0.0)
     return ResidualTerms(boundary + r_comp_clamped, r_comp_sq, boundary, hy2 + b2)

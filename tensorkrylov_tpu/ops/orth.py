@@ -133,11 +133,19 @@ def _replace_lucky(V, v_new, lucky, k, proj_dtype):
         s = jnp.arange(d, dtype=V.dtype)[:, None]
         kf = jnp.asarray(k, V.dtype)
         vr = jnp.cos((i[None, :] + 0.7) * (1.0 + 0.01 * s) + 0.37 * kf)
+        nrm0 = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
         for _ in range(2):  # CGS twice against the existing prefix
             w = _project_coeffs(V, vr, k, proj_dtype)
             vr = _subtract_span(V, vr, w)
         nrm = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
-        vr = vr / jnp.where(nrm > 0, nrm, 1.0).astype(V.dtype)[:, None]
+        # exhausted space: if the fresh direction is (numerically) inside the
+        # existing span, normalizing would amplify cancellation noise into a
+        # non-orthogonal junk vector — write a zero column instead (zero
+        # columns are self-consistently inert: A·0 = 0, ⟨·,0⟩ = 0)
+        ok = nrm > jnp.asarray(2.0**-12, proj_dtype) * nrm0
+        vr = jnp.where(
+            ok[:, None], vr / jnp.where(nrm > 0, nrm, 1.0).astype(V.dtype)[:, None], 0.0
+        )
         return jnp.where(lucky[:, None], vr, v_new)
 
     return lax.cond(jnp.any(lucky), build, lambda v: v, v_new)
