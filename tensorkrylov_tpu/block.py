@@ -55,10 +55,11 @@ __all__ = ["solve_block", "block_krylov_step", "init_block_state"]
 
 def _orthonormalize_column(V, u, kc, b_block, proj_dtype):
     """CGS2 of u (d, n) against basis columns < kc; returns the coefficient
-    column, the new unit vector (with lucky-breakdown replacement), the norm
-    (0 on breakdown), and the new b̃ row ⟨q, b_r⟩ (d, R)."""
-    dtype = V.dtype
-    acc = _acc_dtype(dtype, proj_dtype)
+    column, the new unit vector (with lucky-breakdown replacement, in the
+    compute dtype), the norm (0 on breakdown), and the new b̃ row
+    ⟨q, b_r⟩ (d, R)."""
+    acc = _acc_dtype(V.dtype, proj_dtype)
+    u = u.astype(acc)
     w1 = _project_coeffs(V, u, kc, proj_dtype)
     u = _subtract_span(V, u, w1)
     w2 = _project_coeffs(V, u, kc, proj_dtype)
@@ -67,19 +68,20 @@ def _orthonormalize_column(V, u, kc, b_block, proj_dtype):
 
     h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))
     scale = jnp.sum(jnp.abs(h), axis=1) + jnp.asarray(1e-300, proj_dtype)
-    lucky = h_new < 256.0 * jnp.finfo(dtype).eps * scale
+    lucky = h_new < 256.0 * jnp.finfo(acc).eps * scale
     h_new = jnp.where(lucky, 0.0, h_new)
     safe = jnp.where(h_new > 0, h_new, 1.0)
-    q = u / safe.astype(dtype)[:, None]
+    q = u / safe.astype(acc)[:, None]
     q = _replace_lucky(V, q, lucky, kc, proj_dtype)
     bt_row = jnp.einsum(
-        "dn,rdn->dr", q, b_block.astype(dtype), preferred_element_type=acc
+        "dn,rdn->dr", q, b_block.astype(acc), preferred_element_type=acc
     ).astype(proj_dtype)
     return h, q, h_new, bt_row
 
 
 def init_block_state(
-    op: KroneckerSumOperator, B: jax.Array, kmax: int, R: int, proj_dtype
+    op: KroneckerSumOperator, B: jax.Array, kmax: int, R: int, proj_dtype,
+    basis_dtype=None,
 ) -> Tuple[KrylovState, jax.Array]:
     """Orthonormalize the R starting vectors per factor into V[0:R] and
     compute b̃ rows; returns (state, b_norm of the full rank-R RHS).
@@ -89,8 +91,9 @@ def init_block_state(
     """
     d, n = B.shape[1], B.shape[2]
     Kb = (kmax + 1) * R
-    dtype = op.dtype
-    B = B.astype(dtype)
+    dtype = basis_dtype if basis_dtype is not None else op.dtype
+    acc = _acc_dtype(dtype, proj_dtype)
+    B = B.astype(acc)
 
     V = jnp.zeros((Kb, d, n), dtype)
     H = jnp.zeros((d, Kb, Kb), proj_dtype)
@@ -98,10 +101,9 @@ def init_block_state(
 
     for r in range(R):
         _, q, _, bt_row = _orthonormalize_column(V, B[r], r, B, proj_dtype)
-        V = V.at[r].set(q)
+        V = V.at[r].set(q.astype(dtype))
         btil = btil.at[:, r, :].set(bt_row)
 
-    acc = _acc_dtype(dtype, proj_dtype)
     Gb = jnp.einsum("rdn,qdn->drq", B, B, preferred_element_type=acc).astype(proj_dtype)
     b_norm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.prod(Gb, axis=0)), 0.0))
     beta = jnp.zeros((d,), proj_dtype)
@@ -123,9 +125,10 @@ def block_krylov_step(
     against the full prefix (R is small and static — the loop unrolls)."""
     V, H, btil, _ = state
     kc = jnp.asarray(k, jnp.int32) * R  # first new column index
+    acc = _acc_dtype(V.dtype, proj_dtype)
 
     W_prev = lax.dynamic_slice_in_dim(V, kc - R, R, axis=0)    # (R, d, n)
-    U = spmv(op, jnp.swapaxes(W_prev, 0, 1))                   # (d, R, n)
+    U = spmv(op, jnp.swapaxes(W_prev, 0, 1).astype(acc))       # (d, R, n)
 
     zero = jnp.zeros((), jnp.int32)
     for r in range(R):
@@ -135,7 +138,7 @@ def block_krylov_step(
         # H column (k-1)R + r: CGS coefficients + the norm at row kc + r
         col_vals = lax.dynamic_update_slice(hcol, h_new[:, None], (zero, kc + r))
         H = lax.dynamic_update_slice(H, col_vals[:, :, None], (zero, zero, kc - R + r))
-        V = lax.dynamic_update_slice_in_dim(V, q[None], kc + r, axis=0)
+        V = lax.dynamic_update_slice_in_dim(V, q.astype(V.dtype)[None], kc + r, axis=0)
         btil = lax.dynamic_update_slice(btil, bt_row[:, None, :], (zero, kc + r, zero))
 
     return KrylovState(V, H, btil, state.beta)
@@ -174,8 +177,8 @@ def _solve_block_jit(
     tmax = config.tmax
     pdt = config.proj_dtype
 
-    op_c = op.astype(config.basis_dtype)
-    state0, b_norm = init_block_state(op_c, B, config.kmax, R, pdt)
+    op_c = op.astype(_acc_dtype(config.basis_dtype, pdt))
+    state0, b_norm = init_block_state(op_c, B, config.kmax, R, pdt, config.basis_dtype)
     sym = op.symmetric
 
     def _evaluate(args):

@@ -54,21 +54,26 @@ class KrylovState(NamedTuple):
     beta: jax.Array
 
 
-def init_state(op: KroneckerSumOperator, b: jax.Array, kmax: int, proj_dtype) -> Tuple[KrylovState, jax.Array]:
+def init_state(
+    op: KroneckerSumOperator, b: jax.Array, kmax: int, proj_dtype, basis_dtype=None
+) -> Tuple[KrylovState, jax.Array]:
     """Normalize b per factor into V[:, 0]; returns (state, b_norms (d,)).
 
     Mirrors the k=1 step of the reference (initialize_decomp!,
     /root/reference/src/decompositions.jl:112-118).
+
+    basis_dtype: storage dtype of V (defaults to op.dtype) — may be narrower
+    (bf16) than the operator/compute dtype.
     """
     d, n = b.shape
     K = kmax + 1
-    dtype = op.dtype
-    b = b.astype(dtype)
+    dtype = basis_dtype if basis_dtype is not None else op.dtype
     acc = _acc_dtype(dtype, proj_dtype)
-    b_norms = jnp.linalg.norm(b.astype(acc), axis=1).astype(proj_dtype)
-    v0 = b / b_norms.astype(dtype)[:, None]
+    b = b.astype(acc)
+    b_norms = jnp.linalg.norm(b, axis=1).astype(proj_dtype)
+    v0 = b / b_norms.astype(acc)[:, None]
     V = jnp.zeros((K, d, n), dtype)
-    V = V.at[0].set(v0)
+    V = V.at[0].set(v0.astype(dtype))
     H = jnp.zeros((d, K, K), proj_dtype)
     btil = jnp.zeros((d, K), proj_dtype)
     btil = btil.at[:, 0].set(
@@ -84,11 +89,16 @@ def _col(V: jax.Array, j) -> jax.Array:
 
 
 def _acc_dtype(basis_dtype, proj_dtype):
-    """Accumulation dtype for length-n reductions: f64 accumulation is
+    """Accumulation/compute dtype for length-n work: f64 accumulation is
     software-emulated on TPU (~2 orders of magnitude slower elementwise), so
     only use it when the basis itself is f64 — for f32/bf16 bases XLA's tree
     reduction in f32 already bounds the error at ~log(n)·eps_f32, consistent
-    with the basis precision. Results are cast to proj_dtype afterwards."""
+    with the basis precision. Results are cast to proj_dtype afterwards.
+
+    For sub-f32 STORAGE (bf16 basis — halves the HBM traffic of the
+    V-prefix GEMMs, the large-n bandwidth bottleneck) this is also the
+    compute dtype: the working vector u lives in f32; V/bands are read in
+    bf16 and promoted on-chip (MXU consumes bf16 natively)."""
     if basis_dtype == jnp.float64:
         return proj_dtype
     return jnp.float32
@@ -107,8 +117,9 @@ def _project_coeffs(V, u, k, proj_dtype):
 
 
 def _subtract_span(V, u, w):
-    """u -= Σ_j w_j V[:, j] (w already masked)."""
-    corr = jnp.einsum("kdn,dk->dn", V, w.astype(V.dtype))
+    """u -= Σ_j w_j V[:, j] (w already masked). The correction accumulates in
+    u's (compute) dtype — V may be stored narrower (bf16)."""
+    corr = jnp.einsum("kdn,dk->dn", V, w.astype(u.dtype), preferred_element_type=u.dtype)
     return u - corr
 
 
@@ -127,11 +138,12 @@ def _replace_lucky(V, v_new, lucky, k, proj_dtype):
     Cost is paid only when a breakdown actually occurs (lax.cond).
     """
     K, d, n = V.shape
+    cdt = _acc_dtype(V.dtype, proj_dtype)
 
     def build(v_new):
-        i = jnp.arange(n, dtype=V.dtype)
-        s = jnp.arange(d, dtype=V.dtype)[:, None]
-        kf = jnp.asarray(k, V.dtype)
+        i = jnp.arange(n, dtype=cdt)
+        s = jnp.arange(d, dtype=cdt)[:, None]
+        kf = jnp.asarray(k, cdt)
         vr = jnp.cos((i[None, :] + 0.7) * (1.0 + 0.01 * s) + 0.37 * kf)
         nrm0 = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
         for _ in range(2):  # CGS twice against the existing prefix
@@ -144,9 +156,9 @@ def _replace_lucky(V, v_new, lucky, k, proj_dtype):
         # columns are self-consistently inert: A·0 = 0, ⟨·,0⟩ = 0)
         ok = nrm > jnp.asarray(2.0**-12, proj_dtype) * nrm0
         vr = jnp.where(
-            ok[:, None], vr / jnp.where(nrm > 0, nrm, 1.0).astype(V.dtype)[:, None], 0.0
+            ok[:, None], vr / jnp.where(nrm > 0, nrm, 1.0).astype(vr.dtype)[:, None], 0.0
         )
-        return jnp.where(lucky[:, None], vr, v_new)
+        return jnp.where(lucky[:, None], vr.astype(v_new.dtype), v_new)
 
     return lax.cond(jnp.any(lucky), build, lambda v: v, v_new)
 
@@ -170,17 +182,19 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     V, H, btil, beta = state
     dtype = V.dtype
     K, d, n = V.shape
+    acc = _acc_dtype(dtype, proj_dtype)
 
+    # the working vector u lives in the compute dtype; V is read in its
+    # (possibly narrower, bf16) storage dtype and promoted on-chip
     v_prev = _col(V, k - 1)
-    u = spmv(op, v_prev)
+    u = spmv(op, v_prev.astype(acc))
 
     # subtract beta * v_{k-2} (zero contribution at k == 1 since beta == 0)
     v_pprev = _col(V, jnp.maximum(k - 2, 0))
-    u = u - beta.astype(dtype)[:, None] * v_pprev
+    u = u - beta.astype(acc)[:, None] * v_pprev.astype(acc)
 
-    acc = _acc_dtype(dtype, proj_dtype)
-    alpha = jnp.einsum("dn,dn->d", u, v_prev, preferred_element_type=acc).astype(proj_dtype)
-    u = u - alpha.astype(dtype)[:, None] * v_prev
+    alpha = jnp.einsum("dn,dn->d", u, v_prev.astype(acc), preferred_element_type=acc).astype(proj_dtype)
+    u = u - alpha.astype(acc)[:, None] * v_prev.astype(acc)
 
     if reorth:
         # one extra classical-GS sweep against the whole active prefix
@@ -197,18 +211,19 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     )
     # lucky breakdown: the factor's Krylov space is invariant — restart with
     # a fresh orthogonal direction (see _replace_lucky); β stays 0 in H,
-    # which is the genuine coupling
+    # which is the genuine coupling. Threshold on the COMPUTE dtype's eps
+    # (the recurrence runs in u.dtype even when V is stored narrower).
     scale = jnp.abs(alpha) + beta + jnp.asarray(1e-300, proj_dtype)
-    lucky = beta_new < 256.0 * jnp.finfo(dtype).eps * scale
+    lucky = beta_new < 256.0 * jnp.finfo(u.dtype).eps * scale
     beta_new = jnp.where(lucky, 0.0, beta_new)
     safe = jnp.where(beta_new > 0, beta_new, 1.0)
-    v_new = u / safe.astype(dtype)[:, None]
+    v_new = u / safe.astype(u.dtype)[:, None]
     v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
     v_write = _gate_col(V, v_new, k, active)
 
-    V = lax.dynamic_update_slice_in_dim(V, v_write[None], k, axis=0)
+    V = lax.dynamic_update_slice_in_dim(V, v_write.astype(dtype)[None], k, axis=0)
     bt_new = jnp.einsum(
-        "dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc
+        "dn,dn->d", v_new, b.astype(acc), preferred_element_type=acc
     ).astype(proj_dtype)
     if active is not None:
         keep = lambda new, old: jnp.where(active, new, old)
@@ -232,9 +247,10 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     V, H, btil, beta = state
     dtype = V.dtype
     K, d, n = V.shape
+    acc = _acc_dtype(dtype, proj_dtype)
 
     v_prev = _col(V, k - 1)
-    u = spmv(op, v_prev)
+    u = spmv(op, v_prev.astype(acc))
 
     w1 = _project_coeffs(V, u, k, proj_dtype)
     u = _subtract_span(V, u, w1)
@@ -242,23 +258,22 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     u = _subtract_span(V, u, w2)
     h = w1 + w2  # (d, K) Hessenberg column entries 0..k-1
 
-    acc = _acc_dtype(dtype, proj_dtype)
     h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))
     scale = jnp.sum(jnp.abs(h), axis=1) + jnp.asarray(1e-300, proj_dtype)
-    lucky = h_new < 256.0 * jnp.finfo(dtype).eps * scale
+    lucky = h_new < 256.0 * jnp.finfo(u.dtype).eps * scale
     h_new = jnp.where(lucky, 0.0, h_new)
     safe = jnp.where(h_new > 0, h_new, 1.0)
-    v_new = u / safe.astype(dtype)[:, None]
+    v_new = u / safe.astype(u.dtype)[:, None]
     v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
     v_write = _gate_col(V, v_new, k, active)
 
-    V = lax.dynamic_update_slice_in_dim(V, v_write[None], k, axis=0)
+    V = lax.dynamic_update_slice_in_dim(V, v_write.astype(dtype)[None], k, axis=0)
     # write the whole Hessenberg column j = k-1: rows 0..k-1 from h, row k = h_new
     col = h + _set_vec_entry(jnp.zeros_like(h), k, h_new)  # (d, K)
     zero = jnp.zeros((), jnp.int32)
     H_new = lax.dynamic_update_slice(H, col[:, :, None], (zero, zero, jnp.asarray(k - 1, jnp.int32)))
     bt_new = jnp.einsum(
-        "dn,dn->d", v_new, b.astype(dtype), preferred_element_type=acc
+        "dn,dn->d", v_new, b.astype(acc), preferred_element_type=acc
     ).astype(proj_dtype)
     if active is not None:
         keep = lambda new, old: jnp.where(active, new, old)

@@ -33,7 +33,7 @@ from .ops.eigen import (
 )
 from .ops.expsum import cp_solve_nonsym, cp_solve_sym
 from .ops.gram import residual_norm_sq
-from .ops.orth import KrylovState, arnoldi_step, init_state, lanczos_step
+from .ops.orth import KrylovState, _acc_dtype, arnoldi_step, init_state, lanczos_step
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
 
 __all__ = ["solve", "SolverConfig"]
@@ -242,8 +242,10 @@ def _setup(
     tmax = config.tmax
     pdt = config.proj_dtype
 
-    op = op.astype(config.basis_dtype)
-    state0, b_norms = init_state(op, b, config.kmax, pdt)
+    # operator bands live in the COMPUTE dtype (f32 when the basis is stored
+    # bf16 — bands are O(d·nb·n), negligible next to the (K, d, n) prefix)
+    op = op.astype(_acc_dtype(config.basis_dtype, pdt))
+    state0, b_norms = init_state(op, b, config.kmax, pdt, config.basis_dtype)
     b_norm_prod = jnp.prod(b_norms)
 
     step = _step_fn(config)
@@ -435,7 +437,7 @@ def solve(
 @functools.partial(jax.jit, static_argnames=("config",))
 def _steps_segment_jit(op, b, config, state: KrylovState, k_start, k_end):
     """Run Krylov steps only (no projected stage) from k_start..k_end."""
-    op = op.astype(config.basis_dtype)
+    op = op.astype(_acc_dtype(config.basis_dtype, config.proj_dtype))
     step = _step_fn(config)
 
     def body(c):
@@ -449,8 +451,8 @@ def _steps_segment_jit(op, b, config, state: KrylovState, k_start, k_end):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _init_state_jit(op, b, config):
-    op = op.astype(config.basis_dtype)
-    return init_state(op, b, config.kmax, config.proj_dtype)
+    op = op.astype(_acc_dtype(config.basis_dtype, config.proj_dtype))
+    return init_state(op, b, config.kmax, config.proj_dtype, config.basis_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=())

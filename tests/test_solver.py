@@ -313,3 +313,17 @@ def test_host_projected_nonsym_exact_lmin():
     t_d = int(np.asarray(r_dev.expsum_rank)[k_common])
     if t_h and t_d:
         assert t_h <= t_d, (t_h, t_d)
+
+
+def test_bf16_basis_storage():
+    """bf16 basis storage with f32 compute: converges to the bf16
+    orthogonality floor (~1e-1 true residual). Storage is halved; the
+    recurrence/reductions run in f32 (ops/orth.py:_acc_dtype)."""
+    op = tk.laplace(3, 40)
+    b = _normalized_rhs(3, 40, 27)
+    res = tk.solve(
+        op, b, SolverConfig(kmax=40, tol=3e-2, basis_dtype=jnp.bfloat16)
+    )
+    assert int(res.status) == Status.CONVERGED
+    assert res.x.factors.dtype == jnp.float64  # lifted in proj dtype
+    assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 0.15
