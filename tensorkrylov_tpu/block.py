@@ -61,9 +61,9 @@ def _orthonormalize_column(V, u, kc, b_block, proj_dtype):
     acc = _acc_dtype(V.dtype, proj_dtype)
     u = u.astype(acc)
     w1 = _project_coeffs(V, u, kc, proj_dtype)
-    u = _subtract_span(V, u, w1)
+    u = _subtract_span(V, u, w1, kc)
     w2 = _project_coeffs(V, u, kc, proj_dtype)
-    u = _subtract_span(V, u, w2)
+    u = _subtract_span(V, u, w2, kc)
     h = w1 + w2  # (d, Kb)
 
     h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))

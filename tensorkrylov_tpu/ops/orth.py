@@ -109,18 +109,76 @@ def _prefix_mask(K: int, k, dtype) -> jax.Array:
     return (jnp.arange(K) < k).astype(dtype)
 
 
+# Columns per chunk of the active-prefix GEMVs. The padded basis is (K, d, n)
+# but only k < K columns are live at step k; touching the whole buffer (a
+# plain masked einsum) reads K·d·n from HBM every sweep — the dominant
+# traffic of the reorthogonalized/Arnoldi paths at large n. Chunking with a
+# data-dependent trip count ceil(k/C) reads only ~k·d·n. 32 columns keeps
+# per-chunk slabs ≥ 16 MB at flagship sizes (launch overhead amortized)
+# while wasting < C/2 columns on the last partial chunk.
+_PREFIX_CHUNK = 32
+
+
+def _prefix_chunks(K: int, k):
+    """(chunk width C, traced number of chunks covering columns [0, k))."""
+    C = min(_PREFIX_CHUNK, K)
+    return C, (jnp.asarray(k, jnp.int32) + C - 1) // C
+
+
+def _chunk_cols(V, c, C):
+    """Chunk c of the basis: columns [start, start+C) with start clamped to
+    K−C (dynamic_slice semantics). Returns (Vc (C, d, n), chunk start,
+    global column ids, dedupe mask selecting only ids ≥ c·C — clamped tail
+    chunks overlap their predecessor and must not double-count)."""
+    K = V.shape[0]
+    c = jnp.asarray(c, jnp.int32)
+    start = jnp.minimum(c * C, K - C)
+    Vc = lax.dynamic_slice_in_dim(V, start, C, axis=0)
+    cols = start + jnp.arange(C, dtype=jnp.int32)
+    fresh = cols >= c * C
+    return Vc, start, cols, fresh
+
+
 def _project_coeffs(V, u, k, proj_dtype):
-    """w = V[:k]^T u, masked GEMV over the padded basis: (d, K)."""
+    """w = V[:k]^T u over the active prefix only: (d, K), zero beyond k.
+
+    Chunked masked GEMVs — O(k·d·n) HBM traffic instead of O(K·d·n)."""
+    K, d, n = V.shape
     acc = _acc_dtype(V.dtype, proj_dtype)
-    w = jnp.einsum("kdn,dn->dk", V, u, preferred_element_type=acc).astype(proj_dtype)
-    return w * _prefix_mask(V.shape[0], k, w.dtype)
+    C, nb = _prefix_chunks(K, k)
+
+    def body(c, w):
+        Vc, start, cols, fresh = _chunk_cols(V, c, C)
+        wc = jnp.einsum("kdn,dn->dk", Vc, u, preferred_element_type=acc).astype(
+            proj_dtype
+        )
+        # merge with what's already there: a clamped tail chunk overlaps its
+        # predecessor, and its non-fresh lanes must keep the earlier values
+        existing = lax.dynamic_slice(w, (jnp.zeros((), jnp.int32), start), (d, C))
+        wc = jnp.where((fresh & (cols < k))[None, :], wc, existing)
+        return lax.dynamic_update_slice(w, wc, (jnp.zeros((), jnp.int32), start))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros((d, K), proj_dtype))
 
 
-def _subtract_span(V, u, w):
-    """u -= Σ_j w_j V[:, j] (w already masked). The correction accumulates in
-    u's (compute) dtype — V may be stored narrower (bf16)."""
-    corr = jnp.einsum("kdn,dk->dn", V, w.astype(u.dtype), preferred_element_type=u.dtype)
-    return u - corr
+def _subtract_span(V, u, w, k):
+    """u -= Σ_{j<k} w_j V[:, j] (w already masked beyond k). The correction
+    accumulates in u's (compute) dtype — V may be stored narrower (bf16).
+    Chunked over the active prefix like _project_coeffs."""
+    K = V.shape[0]
+    C, nb = _prefix_chunks(K, k)
+
+    def body(c, u):
+        Vc, start, cols, fresh = _chunk_cols(V, c, C)
+        zero = jnp.zeros((), jnp.int32)
+        wc = lax.dynamic_slice(w, (zero, start), (w.shape[0], C))
+        wc = wc * fresh.astype(w.dtype)[None, :]
+        corr = jnp.einsum(
+            "kdn,dk->dn", Vc, wc.astype(u.dtype), preferred_element_type=u.dtype
+        )
+        return u - corr
+
+    return lax.fori_loop(0, nb, body, u)
 
 
 def _replace_lucky(V, v_new, lucky, k, proj_dtype):
@@ -148,7 +206,7 @@ def _replace_lucky(V, v_new, lucky, k, proj_dtype):
         nrm0 = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
         for _ in range(2):  # CGS twice against the existing prefix
             w = _project_coeffs(V, vr, k, proj_dtype)
-            vr = _subtract_span(V, vr, w)
+            vr = _subtract_span(V, vr, w, k)
         nrm = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
         # exhausted space: if the fresh direction is (numerically) inside the
         # existing span, normalizing would amplify cancellation noise into a
@@ -199,7 +257,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     if reorth:
         # one extra classical-GS sweep against the whole active prefix
         w = _project_coeffs(V, u, k, proj_dtype)
-        u = _subtract_span(V, u, w)
+        u = _subtract_span(V, u, w, k)
         # loss estimate: how non-orthogonal the raw vector was (excluding the
         # intentional alpha/beta components already removed)
         loss = jnp.linalg.norm(w)
@@ -253,9 +311,9 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     u = spmv(op, v_prev.astype(acc))
 
     w1 = _project_coeffs(V, u, k, proj_dtype)
-    u = _subtract_span(V, u, w1)
+    u = _subtract_span(V, u, w1, k)
     w2 = _project_coeffs(V, u, k, proj_dtype)
-    u = _subtract_span(V, u, w2)
+    u = _subtract_span(V, u, w2, k)
     h = w1 + w2  # (d, K) Hessenberg column entries 0..k-1
 
     h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))
