@@ -9,6 +9,7 @@ for JAX/XLA/Pallas; capability reference: thbake/TensorKrylov.jl
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
 from .solver import solve, solve_multi_rhs
 from .block import solve_block
+from .twopass import solve_two_pass
 from .system import TensorizedSystem, random_rhs, solve_tensorized_system
 from .models import gallery
 from .models.gallery import (
@@ -29,6 +30,7 @@ __all__ = [
     "solve",
     "solve_multi_rhs",
     "solve_block",
+    "solve_two_pass",
     "TensorizedSystem",
     "random_rhs",
     "solve_tensorized_system",

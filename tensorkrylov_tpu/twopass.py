@@ -1,0 +1,288 @@
+"""Two-pass (basis-free) tensorized Lanczos solve — O(d·n) basis memory.
+
+The standard driver stores the full Krylov basis V (K, d, n) because the
+final lift x_s = V_s y_s needs every basis vector. At huge per-mode sizes
+(n ~ 1e7+) that buffer dominates memory. This module implements the classic
+two-pass Lanczos technique for f(A)b, adapted to the tensorized method:
+
+  pass 1  — run the three-term recurrence keeping only (v_{k-1}, v_{k-2});
+            the projected matrices H_s and compressed RHS b̃ (both k-sized)
+            are the only growing state. The projected stage (spectral
+            estimation → exp-sum → CP solve → Lemma-3.4 residual) is the
+            same `projected_step` as the standard driver.
+  pass 2  — after convergence at k*, regenerate the basis vectors one at a
+            time from the RECORDED recurrence coefficients (no reductions:
+            u = A v_{j-1} − β_{j-1} v_{j-2} − α_j v_{j-1}, v_j = u/β_j) and
+            accumulate the CP factors X_s += v_j · Y_s[j, :] on the fly.
+
+Memory: O(d·n·(3 + t) + d·k²) instead of O(d·n·K). Cost: one extra sweep of
+SpMVs (~2× pass-1 recurrence FLOPs, no extra reductions).
+
+Capability beyond the reference (whose basis always lives in full,
+/root/reference/src/decompositions.jl:120-176). Restrictions: plain Lanczos
+only (reorthogonalization needs the basis, so does Arnoldi), symmetric
+operators. Lucky breakdown follows the reference's zero-vector convention
+(/root/reference/src/orthogonal_bases.jl:59) — a fresh-direction restart
+(ops/orth.py:_replace_lucky) would need the basis to orthogonalize against.
+
+Pass-2 vectors are regenerated with pass-1's α/β coefficients, so small
+floating-point divergence between the passes perturbs the lift only linearly
+(no recurrence feedback through re-computed coefficients).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .coeffs.tables import BHTables, load_tables
+from .ops.banded import spmv
+from .ops.eigen import dense_minor_window
+from .ops.orth import _acc_dtype
+from .solver import _resolve_config, projected_step
+from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
+
+__all__ = ["solve_two_pass"]
+
+
+class _Carry(NamedTuple):
+    v_prev: jax.Array   # (d, n) compute dtype
+    v_pprev: jax.Array  # (d, n)
+    beta: jax.Array     # (d,) proj dtype
+    H: jax.Array        # (d, K, K)
+    btil: jax.Array     # (d, K)
+    k: jax.Array
+    status: jax.Array
+    weights: jax.Array  # (tmax,)
+    Y: jax.Array        # (d, K, tmax)
+    rel_res: jax.Array
+    r_comp: jax.Array
+    lmin_h: jax.Array
+    lmax_h: jax.Array
+    rank_h: jax.Array
+
+
+def _entry(H, i, j):
+    """H[:, i, j] with traced indices → (d,)."""
+    zero = jnp.zeros((), jnp.int32)
+    return lax.dynamic_slice(
+        H, (zero, jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32)),
+        (H.shape[0], 1, 1),
+    )[:, 0, 0]
+
+
+def _set_entry(H, i, j, vals):
+    zero = jnp.zeros((), jnp.int32)
+    return lax.dynamic_update_slice(
+        H, vals.astype(H.dtype)[:, None, None],
+        (zero, jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32)),
+    )
+
+
+def _recurrence_step(op, v_prev, v_pprev, beta, pdt):
+    """One basis-free Lanczos step. Mirrors ops/orth.py:lanczos_step's
+    arithmetic exactly (same op order/dtypes) minus the basis write."""
+    u = spmv(op, v_prev)
+    u = u - beta.astype(u.dtype)[:, None] * v_pprev
+    alpha = jnp.einsum(
+        "dn,dn->d", u, v_prev, preferred_element_type=u.dtype
+    ).astype(pdt)
+    u = u - alpha.astype(u.dtype)[:, None] * v_prev
+    beta_new = jnp.sqrt(
+        jnp.einsum("dn,dn->d", u, u, preferred_element_type=u.dtype).astype(pdt)
+    )
+    scale = jnp.abs(alpha) + beta + jnp.asarray(1e-300, pdt)
+    lucky = beta_new < 256.0 * jnp.finfo(u.dtype).eps * scale
+    beta_new = jnp.where(lucky, 0.0, beta_new)
+    safe = jnp.where(beta_new > 0, beta_new, 1.0)
+    v_new = jnp.where(lucky[:, None], 0.0, u / safe.astype(u.dtype)[:, None])
+    return v_new, alpha, beta_new
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_pass1_jit(op, b, tables, config: SolverConfig):
+    d, n = b.shape
+    K = config.kmax + 1
+    tmax = config.tmax
+    pdt = config.proj_dtype
+    acc = _acc_dtype(config.basis_dtype, pdt)
+
+    op = op.astype(acc)
+    b_acc = b.astype(acc)
+    b_norms = jnp.linalg.norm(b_acc, axis=1).astype(pdt)
+    b_norm_prod = jnp.prod(b_norms)
+    v0 = b_acc / b_norms.astype(acc)[:, None]
+
+    W_A = (
+        dense_minor_window(op, K).astype(pdt)
+        if config.spectral_source == "A_minor"
+        else None
+    )
+
+    btil0 = jnp.zeros((d, K), pdt).at[:, 0].set(
+        jnp.einsum("dn,dn->d", v0, b_acc, preferred_element_type=acc).astype(pdt)
+    )
+
+    def body(c: _Carry) -> _Carry:
+        k = c.k
+        v_new, alpha, beta_new = _recurrence_step(op, c.v_prev, c.v_pprev, c.beta, pdt)
+        H = _set_entry(c.H, k - 1, k - 1, alpha)
+        H = _set_entry(H, k, k - 1, beta_new)
+        H = _set_entry(H, k - 1, k, beta_new)
+        bt = jnp.einsum(
+            "dn,dn->d", v_new, b_acc, preferred_element_type=acc
+        ).astype(pdt)
+        zero = jnp.zeros((), jnp.int32)
+        btil = lax.dynamic_update_slice(c.btil, bt[:, None], (zero, k))
+
+        def evaluate(args):
+            c, H, btil, k = args
+            subdiag = _entry(H, k, k - 1)
+            ev = projected_step(
+                H, btil, subdiag, k, b_norm_prod, config, tables,
+                op.symmetric, n, W_A,
+            )
+            status = jnp.where(
+                ev.breakdown,
+                Status.BREAKDOWN,
+                jnp.where(ev.rel < config.tol, Status.CONVERGED, Status.RUNNING),
+            ).astype(jnp.int32)
+            weights = jnp.where(ev.breakdown, c.weights, ev.weights)
+            Y = jnp.where(ev.breakdown, c.Y, ev.Y)
+            return c._replace(
+                status=status,
+                weights=weights,
+                Y=Y,
+                rel_res=c.rel_res.at[k].set(ev.rel),
+                r_comp=c.r_comp.at[k].set(ev.r_comp),
+                lmin_h=c.lmin_h.at[k].set(ev.lmin),
+                lmax_h=c.lmax_h.at[k].set(ev.lmax),
+                rank_h=c.rank_h.at[k].set(ev.rank),
+            )
+
+        do_check = ((k % config.check_every) == 0) | (k >= config.kmax)
+        c2 = lax.cond(do_check, evaluate, lambda args: args[0], (c, H, btil, k))
+        return c2._replace(
+            v_prev=v_new, v_pprev=c.v_prev, beta=beta_new, H=H, btil=btil, k=k + 1
+        )
+
+    init = _Carry(
+        v_prev=v0,
+        v_pprev=jnp.zeros_like(v0),
+        beta=jnp.zeros((d,), pdt),
+        H=jnp.zeros((d, K, K), pdt),
+        btil=btil0,
+        k=jnp.asarray(1, jnp.int32),
+        status=jnp.asarray(Status.RUNNING, jnp.int32),
+        weights=jnp.zeros((tmax,), pdt),
+        Y=jnp.zeros((d, K, tmax), pdt),
+        rel_res=jnp.full((K,), jnp.inf, pdt),
+        r_comp=jnp.full((K,), jnp.inf, pdt),
+        lmin_h=jnp.zeros((K,), pdt),
+        lmax_h=jnp.zeros((K,), pdt),
+        rank_h=jnp.zeros((K,), jnp.int32),
+    )
+
+    def cond(c: _Carry):
+        return (c.k <= config.kmax) & (c.status == Status.RUNNING)
+
+    final = lax.while_loop(cond, body, init)
+    return final, b_norm_prod
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _lift_pass2_jit(op, b, H, Y, k_star, config: SolverConfig):
+    """Regenerate v_0..v_{k*} from the recorded α/β and accumulate
+    X_s = Σ_j v_j · Y_s[j, :] — the lift V_s Y_s without a stored basis."""
+    d, n = b.shape
+    pdt = config.proj_dtype
+    acc = _acc_dtype(config.basis_dtype, pdt)
+    tmax = config.tmax
+
+    op = op.astype(acc)
+    b_acc = b.astype(acc)
+    b_norms = jnp.linalg.norm(b_acc, axis=1)
+    v0 = b_acc / b_norms[:, None]
+
+    def y_row(j):
+        zero = jnp.zeros((), jnp.int32)
+        return lax.dynamic_slice(
+            Y, (zero, jnp.asarray(j, jnp.int32), zero), (d, 1, tmax)
+        )[:, 0, :]
+
+    X0 = v0[:, :, None] * y_row(0).astype(acc)[:, None, :]
+
+    def body(j, carry):
+        v_prev, v_pprev, X = carry
+        # recorded coefficients: α_j = H[j-1, j-1], β entering = H[j-1, j-2]
+        # (0 for j == 1), new β_j = H[j, j-1]
+        alpha = _entry(H, j - 1, j - 1)
+        beta_in = jnp.where(
+            j > 1, _entry(H, j - 1, jnp.maximum(j - 2, 0)), jnp.zeros((d,), pdt)
+        )
+        beta_out = _entry(H, j, j - 1)
+        u = spmv(op, v_prev)
+        u = u - beta_in.astype(acc)[:, None] * v_pprev
+        u = u - alpha.astype(acc)[:, None] * v_prev
+        safe = jnp.where(beta_out > 0, beta_out, 1.0)
+        v_new = jnp.where(
+            (beta_out > 0)[:, None], u / safe.astype(acc)[:, None], 0.0
+        )
+        X = X + v_new[:, :, None] * y_row(j).astype(acc)[:, None, :]
+        return (v_new, v_prev, X)
+
+    _, _, X = lax.fori_loop(
+        1, jnp.asarray(k_star, jnp.int32) + 1, body, (v0, jnp.zeros_like(v0), X0)
+    )
+    return X.astype(pdt)
+
+
+def solve_two_pass(
+    op: KroneckerSumOperator,
+    b,
+    config: Optional[SolverConfig] = None,
+    tables: Optional[BHTables] = None,
+) -> SolveResult:
+    """Basis-free tensorized Lanczos solve (two passes, O(d·n) basis memory).
+
+    Same result contract as `solve`; requires a symmetric operator and
+    orth='lanczos' (pass `SolverConfig(orth="lanczos")`).
+    """
+    config = config or SolverConfig(orth="lanczos")
+    if not op.symmetric:
+        raise ValueError("solve_two_pass requires a symmetric operator")
+    if config.orth != "lanczos":
+        raise ValueError(
+            "solve_two_pass supports plain Lanczos only "
+            "(reorthogonalization/Arnoldi need the stored basis)"
+        )
+    config = _resolve_config(config, op)
+    b = jnp.asarray(b)
+    if b.ndim != 2 or b.shape[0] != op.d or b.shape[1] != op.n:
+        raise ValueError(f"b must be (d, n) = ({op.d}, {op.n}), got {b.shape}")
+    if tables is None:
+        tables = load_tables(dtype=config.proj_dtype)
+
+    final, _ = _solve_pass1_jit(op, b, tables, config)
+    niter = final.k - 1
+    status = jnp.where(
+        final.status == Status.RUNNING, Status.MAXITER, final.status
+    ).astype(jnp.int32)
+
+    X = _lift_pass2_jit(op, b, final.H, final.Y, niter, config)
+
+    return SolveResult(
+        x=CPTensor(final.weights, X),
+        status=status,
+        niterations=niter,
+        relative_residual=final.rel_res,
+        projected_residual=final.r_comp,
+        orthogonality=jnp.zeros_like(final.rel_res),
+        lambda_min=final.lmin_h,
+        lambda_max=final.lmax_h,
+        expsum_rank=final.rank_h,
+        config=config,
+    )
