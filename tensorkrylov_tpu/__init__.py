@@ -10,6 +10,7 @@ from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, St
 from .solver import solve, solve_multi_rhs
 from .block import solve_block
 from .twopass import solve_two_pass
+from .refine import solve_refined, RefinedResult, cp_residual
 from .system import TensorizedSystem, random_rhs, solve_tensorized_system
 from .models import gallery
 from .models.gallery import (
@@ -19,7 +20,15 @@ from .models.gallery import (
     operator_from_dense_factors,
     rand_spd,
 )
-from .utils.cp import cp_full, cp_norm, cp_dot, kron_residual_dense
+from .utils.cp import (
+    cp_axpy,
+    cp_dot,
+    cp_full,
+    cp_norm,
+    cp_round,
+    kron_apply_cp,
+    kron_residual_dense,
+)
 
 __all__ = [
     "CPTensor",
@@ -31,6 +40,12 @@ __all__ = [
     "solve_multi_rhs",
     "solve_block",
     "solve_two_pass",
+    "solve_refined",
+    "RefinedResult",
+    "cp_residual",
+    "cp_axpy",
+    "cp_round",
+    "kron_apply_cp",
     "TensorizedSystem",
     "random_rhs",
     "solve_tensorized_system",

@@ -1,0 +1,168 @@
+"""Restarted solve via CP iterative refinement — bounded Krylov memory with
+an EXACT low-rank residual certificate.
+
+The single-shot driver grows one Krylov space until the Lemma-3.4 residual
+*estimate* (valid for orthonormal bases) crosses tol. This module instead
+restarts: after a bounded-kmax cycle it recomputes the TRUE residual
+r = b − A x entirely in CP form (kron_apply_cp; O(d²·t·nnz) — never
+materializing n^d), rounds it to a small CP rank (cp_round, ALS), and solves
+the correction equation A e = r in a fresh shared block-Krylov space
+(block.py) with r's rank-R rounded form as the RHS. The solution accumulates
+as a CP sum and is itself periodically rounded.
+
+Capabilities beyond the reference (which has no restarting, no CP
+arithmetic, and only the estimated residual):
+  * Krylov memory bounded by kmax per cycle regardless of the final
+    iteration count (the complement of twopass.py's basis-free storage).
+  * A certified true residual per cycle — immune to basis orthogonality
+    loss, which makes low-precision bases usable: cycle 1 can run f32/bf16
+    and later cycles clean up, classic iterative refinement.
+
+Attainable-accuracy notes (all f64 floors, observed on the d=3 Laplace
+oracle problems):
+  * ‖r‖ is evaluated from t×t Gram products; its cancellation floor is
+    ~1e-8·‖b‖ relative (DESIGN.md §6 applies to this quadratic form too).
+  * cp_round of the residual solves Gram-based normal equations, so its fit
+    error is ~√eps relative to the TERM magnitudes of r's CP form (which
+    cancel down to ‖r‖ ≪ term scale): per-cycle reduction shrinks as ‖r‖
+    falls — expect fast cycles down to ~1e-4 relative, then a few slower
+    cycles to ~1e-6..1e-7.
+  * solution_rank rounding error is amplified by ‖A‖ in the residual —
+    use it only when tol ≫ λ_max·‖x‖·(rank-`solution_rank` fit error).
+  * The controlling quantity is the residual REPRESENTATION condition
+    κ_rep = Σ_j |w_j|·Π‖r_s[:,j]‖ / ‖r‖ (recorded per cycle in
+    rep_condition): r's CP terms contain b and the d·t pieces of A x, whose
+    magnitudes are O(λ_max·‖x‖) but cancel down to ‖r‖. When κ_rep is large
+    (stiff operators, accurate x), the rounded correction RHS is a
+    difference of near-collinear rank-1 terms and the inner solve cannot
+    resolve it — refinement stalls (the guard keeps the best iterate). This
+    is the classic CP-degeneracy limit, not a solver artifact; expect
+    useful refinement while κ_rep ≲ 1/tol_cycle.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .block import solve_block
+from .coeffs.tables import load_tables
+from .solver import solve
+from .types import CPTensor, KroneckerSumOperator, SolverConfig, Status
+from .utils.cp import cp_axpy, cp_compress, cp_norm, cp_round, kron_apply_cp
+
+__all__ = ["solve_refined", "RefinedResult", "cp_residual"]
+
+
+def cp_residual(op: KroneckerSumOperator, x: CPTensor, b) -> CPTensor:
+    """b − A x as a CP tensor (rank 1 + d·rank(x)); b is rank-1 (d, n)."""
+    b = jnp.asarray(b)
+    b_cp = CPTensor(jnp.ones((1,), x.weights.dtype), b.T[None].transpose(2, 1, 0))
+    ax = kron_apply_cp(op, x)
+    return cp_axpy(-1.0, ax, b_cp)
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinedResult:
+    x: CPTensor
+    status: int                      # Status value of the final state
+    cycles: int
+    true_relative_residual: float    # exact CP-evaluated ‖b−Ax‖/‖b‖
+    residual_history: List[float]    # per-cycle true relative residuals
+    inner_iterations: List[int]      # Krylov iterations of each cycle
+    rep_condition: List[float]       # per-cycle κ_rep of the CP residual
+
+    @property
+    def converged(self):
+        return self.status == Status.CONVERGED
+
+
+def solve_refined(
+    op: KroneckerSumOperator,
+    b,
+    config: Optional[SolverConfig] = None,
+    *,
+    max_restarts: int = 4,
+    residual_rank: int = 6,
+    solution_rank: Optional[int] = None,
+    round_iters: int = 20,
+    inner_tol: float = 1e-4,
+) -> RefinedResult:
+    """Solve A x = b (rank-1 b, (d, n)) by restarted refinement cycles.
+
+    Each cycle's Krylov space is bounded by config.kmax; config.tol is the
+    FINAL target, checked against the exact CP residual. inner_tol is the
+    per-cycle relative reduction requested from the inner solver.
+
+    residual_rank: CP rank the residual is rounded to before the correction
+    solve (the attainable per-cycle reduction is limited by this rounding).
+    solution_rank: if set, the accumulated solution is rounded to this rank
+    each cycle (default: keep exact, rank grows by tmax·residual_rank).
+    """
+    config = config or SolverConfig()
+    b = jnp.asarray(b)
+    if b.ndim != 2 or b.shape[0] != op.d or b.shape[1] != op.n:
+        raise ValueError(f"b must be (d, n) = ({op.d}, {op.n}), got {b.shape}")
+    tables = load_tables(dtype=config.proj_dtype) if op.symmetric else None
+    inner_cfg = dataclasses.replace(config, tol=inner_tol)
+
+    b_norm = float(np.prod(np.linalg.norm(np.asarray(b, np.float64), axis=1)))
+
+    history: List[float] = []
+    inner_iters: List[int] = []
+
+    # cycle 1: rank-1 RHS through the standard driver
+    res = solve(op, b, inner_cfg, tables)
+    x = cp_compress(res.x, rel_tol=0.0)
+    inner_iters.append(int(res.niterations))
+
+    # The inner solves' own status flags (incl. BREAKDOWN of their residual
+    # ESTIMATOR) are advisory only: termination here is driven entirely by
+    # the exact CP residual — that is the point of this mode.
+    status = int(Status.MAXITER)
+    rel_prev = float("inf")
+    rep_cond: List[float] = []
+    for cycle in range(max_restarts + 1):
+        r = cp_residual(op, x, b)
+        rel = float(cp_norm(r)) / b_norm
+        history.append(rel)
+        term_mass = float(
+            jnp.sum(
+                jnp.abs(r.weights) * jnp.prod(jnp.linalg.norm(r.factors, axis=1), axis=0)
+            )
+        )
+        rep_cond.append(term_mass / max(rel * b_norm, 1e-300))
+        if rel < config.tol:
+            status = int(Status.CONVERGED)
+            break
+        if rel >= rel_prev:
+            # stalled (rounding/evaluation floor, or a bad correction):
+            # revert to the better iterate and stop
+            x = x_prev  # noqa: F821 — rel_prev < inf implies x_prev exists
+            history.pop()
+            rep_cond.pop()
+            break
+        if cycle == max_restarts:
+            break
+        rel_prev, x_prev = rel, x
+        # round the residual and solve the correction equation
+        rr = cp_round(r, min(residual_rank, r.rank), iters=round_iters)
+        B = np.asarray(rr.factors).transpose(2, 0, 1).copy()  # (R, d, n)
+        B[:, 0, :] *= np.asarray(rr.weights)[:, None]          # fold weights
+        cres = solve_block(op, jnp.asarray(B), inner_cfg, tables)
+        inner_iters.append(int(cres.niterations))
+        x = cp_axpy(1.0, cp_compress(cres.x, rel_tol=0.0), x)
+        if solution_rank is not None and x.rank > solution_rank:
+            x = cp_round(x, solution_rank, iters=round_iters)
+
+    return RefinedResult(
+        x=x,
+        status=status,
+        cycles=len(inner_iters),
+        true_relative_residual=history[-1] if history else float("inf"),
+        residual_history=history,
+        inner_iterations=inner_iters,
+        rep_condition=rep_cond,
+    )

@@ -1,10 +1,16 @@
-"""CP-tensor utilities: norms, inner products, materialization oracles.
+"""CP-tensor utilities: norms, inner products, low-rank operator algebra,
+rank reduction, materialization oracles.
 
 Analogues of kronproddot/kronprodnorm/kroneckervectorize and the Kruskal
-Gram algebra (/root/reference/src/tensor_struct.jl:271-384).
+Gram algebra (/root/reference/src/tensor_struct.jl:271-384); kron_apply_cp /
+cp_axpy / cp_round go beyond the reference (which has no CP arithmetic
+outside the residual estimator).
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +22,9 @@ __all__ = [
     "cp_norm",
     "cp_full",
     "cp_compress",
+    "cp_axpy",
+    "cp_round",
+    "kron_apply_cp",
     "kron_residual_dense",
     "kron_matvec_dense",
 ]
@@ -62,6 +71,88 @@ def cp_full(x: CPTensor) -> np.ndarray:
             acc = np.kron(acc, factors[s, :, j])
         out += v * acc
     return out
+
+
+def kron_apply_cp(op: KroneckerSumOperator, x: CPTensor) -> CPTensor:
+    """A x in CP form: applying the Kronecker sum Σ_s I⊗…⊗A_s⊗…⊗I to a
+    rank-t CP tensor yields a rank-(d·t) CP tensor — term (s, j) applies A_s
+    to mode s of term j and copies the other modes. All t columns of each
+    mode go through one batched banded SpMV."""
+    from ..ops.banded import spmv
+
+    d, n, t = x.factors.shape
+    # (d, t, n) → batched SpMV → (d, n, t): applied[s, :, j] = A_s x_s[:, j]
+    applied = jnp.swapaxes(spmv(op, jnp.swapaxes(x.factors, 1, 2)), 1, 2)
+    # out factor of mode m, term (s, j): applied if m == s else original
+    eye = jnp.eye(d, dtype=bool)[:, None, :, None]          # (m, 1, s, 1)
+    out = jnp.where(
+        eye, applied[:, :, None, :], x.factors[:, :, None, :]
+    )  # (m, n, s, t)
+    weights = jnp.broadcast_to(x.weights, (d, t)).reshape(d * t)
+    return CPTensor(weights, out.reshape(d, n, d * t))
+
+
+def cp_axpy(alpha, x: CPTensor, y: CPTensor) -> CPTensor:
+    """α·x + y as a CP tensor (rank t_x + t_y; no rounding)."""
+    weights = jnp.concatenate([alpha * x.weights, y.weights])
+    factors = jnp.concatenate([x.factors, y.factors], axis=2)
+    return CPTensor(weights, factors)
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "iters"))
+def _cp_round_jit(weights, factors, rank: int, iters: int, ridge: float):
+    d, n, T = factors.shape
+    dt = factors.dtype
+    # normalize target columns; fold norms into the weights
+    cn = jnp.linalg.norm(factors, axis=1)                     # (d, T)
+    F = factors / jnp.where(cn > 0, cn, 1.0)[:, None, :]
+    w = weights * jnp.prod(cn, axis=0)
+
+    # init: the `rank` largest-|weight| terms of the target
+    order = jnp.argsort(-jnp.abs(w))[:rank]
+    B = F[:, :, order]                                        # (d, n, r)
+    lam = w[order]
+
+    def sweep(_, carry):
+        B, lam = carry
+        for s in range(d):
+            GB = jnp.einsum("dni,dnj->dij", B, B)             # (d, r, r)
+            C = jnp.einsum("dni,dnj->dij", F, B)              # (d, T, r)
+            # Hadamard products over all modes except s
+            mask = jnp.arange(d) != s
+            ones_r = jnp.ones((rank, rank), dt)
+            ones_c = jnp.ones((T, rank), dt)
+            Gm = jnp.prod(jnp.where(mask[:, None, None], GB, ones_r), axis=0)
+            Cm = jnp.prod(jnp.where(mask[:, None, None], C, ones_c), axis=0)
+            # normal equations: (F_s diag(w) Cm) = B_s diag(lam) Gm diag(lam)
+            M = jnp.einsum("nt,tr->nr", F[s], w[:, None] * Cm)  # (n, r)
+            G = Gm + ridge * jnp.eye(rank, dtype=dt)
+            Bs_l = jnp.linalg.solve(G, M.T).T                  # B_s diag(lam)
+            lam = jnp.linalg.norm(Bs_l, axis=0)
+            Bs = Bs_l / jnp.where(lam > 0, lam, 1.0)[None, :]
+            B = B.at[s].set(Bs)
+        return B, lam
+
+    B, lam = jax.lax.fori_loop(0, iters, sweep, (B, lam))
+    return lam, B
+
+
+def cp_round(x: CPTensor, rank: int, iters: int = 10, ridge: float = 1e-10) -> CPTensor:
+    """Best-effort rank reduction of a CP tensor by ALS fitting (capability
+    beyond the reference). Minimizes ‖y − x‖ over rank-`rank` CP tensors y:
+    each mode update solves an r×r SPD system assembled from Hadamard
+    products of the t×t Gram matrices — O(d·n·T·r + d·r³) per sweep, no
+    materialization. Initialized from the `rank` largest-weight terms.
+
+    ridge: Tikhonov shift for near-collinear factor columns (relative scale:
+    applied to column-normalized Grams — the init from the largest-weight
+    terms routinely contains collinear columns, so keep it nonzero).
+    """
+    T = x.rank
+    if rank >= T:
+        return x
+    lam, B = _cp_round_jit(x.weights, x.factors, rank, iters, ridge)
+    return CPTensor(lam, B)
 
 
 def kron_matvec_dense(op: KroneckerSumOperator, v: np.ndarray) -> np.ndarray:
