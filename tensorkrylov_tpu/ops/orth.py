@@ -230,12 +230,17 @@ def _gate_col(V, v_new, k, active):
     return jnp.where(active, v_new, _col(V, k))
 
 
-def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth: bool, proj_dtype, active=None):
+def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth: bool, proj_dtype, active=None, fused: bool = False):
     """One three-term-recurrence step producing basis vector k (all factors).
 
     Behavioural reference: /root/reference/src/orthogonal_bases.jl:39-139.
     Returns (state', orth_loss_estimate (scalar f64)). `active` (optional
     scalar bool) gates the state writes — see _apply_writes.
+
+    fused=True routes the recurrence core (stencil + α/β axpys + the α, β²,
+    b̃ reductions) through the two-pass Pallas kernel
+    (ops/pallas/fused_lanczos.py) when shapes/dtypes allow — plain Lanczos
+    with f32 compute only; otherwise this silently stays on the XLA path.
     """
     V, H, btil, beta = state
     dtype = V.dtype
@@ -245,28 +250,42 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     # the working vector u lives in the compute dtype; V is read in its
     # (possibly narrower, bf16) storage dtype and promoted on-chip
     v_prev = _col(V, k - 1)
-    u = spmv(op, v_prev.astype(acc))
-
-    # subtract beta * v_{k-2} (zero contribution at k == 1 since beta == 0)
     v_pprev = _col(V, jnp.maximum(k - 2, 0))
-    u = u - beta.astype(acc)[:, None] * v_pprev.astype(acc)
 
-    alpha = jnp.einsum("dn,dn->d", u, v_prev.astype(acc), preferred_element_type=acc).astype(proj_dtype)
-    u = u - alpha.astype(acc)[:, None] * v_prev.astype(acc)
+    tile = None
+    if fused and not reorth and acc == jnp.float32:
+        from .pallas.fused_lanczos import fused_lanczos_core, fused_tile
 
-    if reorth:
-        # one extra classical-GS sweep against the whole active prefix
-        w = _project_coeffs(V, u, k, proj_dtype)
-        u = _subtract_span(V, u, w, k)
-        # loss estimate: how non-orthogonal the raw vector was (excluding the
-        # intentional alpha/beta components already removed)
-        loss = jnp.linalg.norm(w)
-    else:
+        tile = fused_tile(op, n)
+
+    ub = None
+    if tile is not None:
+        u, alpha32, beta_sq32, ub = fused_lanczos_core(op, v_prev, v_pprev, beta, b, tile)
+        alpha = alpha32.astype(proj_dtype)
+        beta_new = jnp.sqrt(beta_sq32.astype(proj_dtype))
         loss = jnp.asarray(0.0, proj_dtype)
+    else:
+        u = spmv(op, v_prev.astype(acc))
 
-    beta_new = jnp.sqrt(
-        jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype)
-    )
+        # subtract beta * v_{k-2} (zero contribution at k == 1 since beta == 0)
+        u = u - beta.astype(acc)[:, None] * v_pprev.astype(acc)
+
+        alpha = jnp.einsum("dn,dn->d", u, v_prev.astype(acc), preferred_element_type=acc).astype(proj_dtype)
+        u = u - alpha.astype(acc)[:, None] * v_prev.astype(acc)
+
+        if reorth:
+            # one extra classical-GS sweep against the whole active prefix
+            w = _project_coeffs(V, u, k, proj_dtype)
+            u = _subtract_span(V, u, w, k)
+            # loss estimate: how non-orthogonal the raw vector was (excluding the
+            # intentional alpha/beta components already removed)
+            loss = jnp.linalg.norm(w)
+        else:
+            loss = jnp.asarray(0.0, proj_dtype)
+
+        beta_new = jnp.sqrt(
+            jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype)
+        )
     # lucky breakdown: the factor's Krylov space is invariant — restart with
     # a fresh orthogonal direction (see _replace_lucky); β stays 0 in H,
     # which is the genuine coupling. Threshold on the COMPUTE dtype's eps
@@ -280,9 +299,22 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     v_write = _gate_col(V, v_new, k, active)
 
     V = lax.dynamic_update_slice_in_dim(V, v_write.astype(dtype)[None], k, axis=0)
-    bt_new = jnp.einsum(
-        "dn,dn->d", v_new, b.astype(acc), preferred_element_type=acc
-    ).astype(proj_dtype)
+    if ub is None:
+        bt_new = jnp.einsum(
+            "dn,dn->d", v_new, b.astype(acc), preferred_element_type=acc
+        ).astype(proj_dtype)
+    else:
+        # fused path already has <u, b>; b̃_k = <u/β, b> = ub/β — no extra
+        # pass over n. A lucky restart replaced v_new, so recompute then
+        # (cost paid only when a breakdown actually occurs).
+        bt_new = ub.astype(proj_dtype) / safe
+        bt_new = lax.cond(
+            jnp.any(lucky),
+            lambda: jnp.einsum(
+                "dn,dn->d", v_new, b.astype(u.dtype), preferred_element_type=u.dtype
+            ).astype(proj_dtype),
+            lambda: bt_new,
+        )
     if active is not None:
         keep = lambda new, old: jnp.where(active, new, old)
         H_new = _set_entry(_set_entry(_set_entry(H, k - 1, k - 1, alpha), k, k - 1, beta_new), k - 1, k, beta_new)

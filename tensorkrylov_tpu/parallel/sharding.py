@@ -82,6 +82,12 @@ def solve_sharded(
     if mesh is None:
         mesh = make_mesh()
     config = config or SolverConfig()
+    if config.step_impl != "xla":
+        # GSPMD shards the jnp step's shifts/reductions automatically; the
+        # manual-DMA Pallas step is single-device — force the portable path
+        import dataclasses
+
+        config = dataclasses.replace(config, step_impl="xla")
     op = shard_operator(op, mesh)
     b = shard_rhs(jnp.asarray(b), mesh)
     return solve(op, b, config)

@@ -79,8 +79,9 @@ def _step_fn(config: SolverConfig):
             op, st, b, k, proj_dtype=config.proj_dtype, active=active
         )
     reorth = config.orth == "lanczos_reorth"
+    fused = config.step_impl == "fused"
     return lambda op, st, b, k, active=None: lanczos_step(
-        op, st, b, k, reorth=reorth, proj_dtype=config.proj_dtype, active=active
+        op, st, b, k, reorth=reorth, proj_dtype=config.proj_dtype, active=active, fused=fused
     )
 
 
@@ -405,6 +406,10 @@ def _resolve_config(config: SolverConfig, op: KroneckerSumOperator, host_project
             else "dense"
         )
         config = dataclasses.replace(config, eigh_impl=impl)
+    if config.step_impl == "fused" and jax.default_backend() != "tpu":
+        # the fused step is a TPU Pallas kernel (tested in interpreter mode
+        # separately); on other backends fall back to the XLA step
+        config = dataclasses.replace(config, step_impl="xla")
     return config
 
 
@@ -645,6 +650,10 @@ def solve_multi_rhs(
     batched result carries per-term telemetry.
     """
     config = _resolve_config(config or SolverConfig(), op)
+    if config.step_impl != "xla":
+        # the whole while_loop is vmapped here; the manual-DMA Pallas step
+        # doesn't batch — keep the portable path
+        config = dataclasses.replace(config, step_impl="xla")
     B = jnp.asarray(B)
     if B.ndim != 3 or B.shape[1] != op.d or B.shape[2] != op.n:
         raise ValueError(f"B must be (R, d, n) = (R, {op.d}, {op.n}), got {B.shape}")

@@ -159,6 +159,15 @@ class SolverConfig:
                                      # assumes this, /root/reference/src/utils.jl:509)
     # residual check cadence (1 = every iteration, like the reference)
     check_every: int = 1
+    # Krylov step implementation:
+    #  'xla'   — jnp ops (portable: f64, sharding, vmap/multi-RHS)
+    #  'fused' — two-pass Pallas kernel for the plain-Lanczos recurrence
+    #            (ops/pallas/fused_lanczos.py): stencil+axpys+all three
+    #            reductions in 2 HBM passes. Applies only when
+    #            orth='lanczos' with f32 compute (f32/bf16 basis) on
+    #            unsharded single-RHS solves; otherwise silently falls
+    #            back to 'xla'.
+    step_impl: str = "xla"
     # Eigendecomposition of the projected H minors:
     #  'auto'          — dense LAPACK-style eigh on CPU, mixed-precision
     #                    tridiagonal solver on TPU (where f64 eigh is
@@ -198,6 +207,7 @@ class SolverConfig:
         assert self.coeff_tol_scale in ("kappa", "reference")
         assert self.bh_row_select in ("ceil", "reference")
         assert self.eigh_impl in ("auto", "dense", "tridiag_mixed")
+        assert self.step_impl in ("xla", "fused")
 
 
 @_pytree_dataclass(static=("config",))
