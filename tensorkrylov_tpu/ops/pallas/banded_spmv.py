@@ -38,10 +38,14 @@ def _kernel(bands_ref, vpad_hbm, out_ref, vbuf, sems, *, offsets, TN, n_tiles):
     ti = pl.program_id(0)
 
     def get_dma(slot, tile):
+        # explicit i32 starts: under jax_enable_x64 python-int index math
+        # lowers to int64, which Mosaic cannot convert (infinite recursion
+        # in _convert_helper)
+        start = jnp.asarray(tile, jnp.int32) * TN
         return pltpu.make_async_copy(
-            vpad_hbm.at[:, pl.ds(tile * TN, TN + 2 * _HPAD)],
-            vbuf.at[slot],
-            sems.at[slot],
+            vpad_hbm.at[:, pl.ds(start, TN + 2 * _HPAD)],
+            vbuf.at[jnp.asarray(slot, jnp.int32)],
+            sems.at[jnp.asarray(slot, jnp.int32)],
         )
 
     cur = ti % 2
@@ -73,6 +77,13 @@ def _spmv_pallas(bands, v, offsets: Tuple[int, ...], tile: int):
     vpad = jnp.pad(v, ((0, 0), (_HPAD, _HPAD)))
 
     kernel = functools.partial(_kernel, offsets=offsets, TN=tile, n_tiles=n_tiles)
+    # x64 disabled at kernel-trace time: with jax_enable_x64 on, Pallas'
+    # internal index arithmetic produces int64 scalars Mosaic cannot lower
+    with jax.enable_x64(False):
+        return _call(kernel, bands, vpad, d, nb, n, tile, n_tiles, v.dtype)
+
+
+def _call(kernel, bands, vpad, d, nb, n, tile, n_tiles, dtype):
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -81,9 +92,9 @@ def _spmv_pallas(bands, v, offsets: Tuple[int, ...], tile: int):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((d, tile), lambda ti: (0, ti), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, n), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((d, n), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, d, tile + 2 * _HPAD), v.dtype),
+            pltpu.VMEM((2, d, tile + 2 * _HPAD), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(bands, vpad)

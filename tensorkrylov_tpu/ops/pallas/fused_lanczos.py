@@ -55,10 +55,14 @@ def _k1(bands_ref, vpad_hbm, vpp_ref, beta_ref, w_ref, apart_ref, vbuf, sems, *,
     ti = pl.program_id(0)
 
     def get_dma(slot, t):
+        # explicit i32 starts: under jax_enable_x64 python-int index math
+        # lowers to int64, which Mosaic cannot convert (infinite recursion
+        # in _convert_helper)
+        start = jnp.asarray(t, jnp.int32) * TN
         return pltpu.make_async_copy(
-            vpad_hbm.at[:, pl.ds(t * TN, TN + 2 * _HPAD)],
-            vbuf.at[slot],
-            sems.at[slot],
+            vpad_hbm.at[:, pl.ds(start, TN + 2 * _HPAD)],
+            vbuf.at[jnp.asarray(slot, jnp.int32)],
+            sems.at[jnp.asarray(slot, jnp.int32)],
         )
 
     cur = ti % 2
@@ -117,10 +121,27 @@ def _fused_core(bands, v_prev, v_pprev, beta, b, offsets: Tuple[int, ...], tile:
     d, nb, n = bands.shape
     n_tiles = n // tile
     f32 = jnp.float32
+    if b.dtype == jnp.float64:  # Mosaic has no f64; f32/bf16 pass through
+        b = b.astype(f32)
     vpad = jnp.pad(v_prev, ((0, 0), (_HPAD, _HPAD)))
 
     k1 = functools.partial(_k1, offsets=offsets, TN=tile, n_tiles=n_tiles)
-    w, apart = pl.pallas_call(
+    # x64 disabled at kernel-trace time: with jax_enable_x64 on (the solver's
+    # projected algebra needs f64) Pallas' internal index arithmetic produces
+    # int64 scalars that Mosaic cannot lower
+    with jax.enable_x64(False):
+        w, apart = _call_k1(k1, bands, vpad, v_pprev, beta, d, nb, n, tile, n_tiles)
+    alpha = jnp.sum(apart, axis=1)
+
+    k2 = functools.partial(_k2, TN=tile)
+    with jax.enable_x64(False):
+        u, b2p, ubp = _call_k2(k2, w, v_prev, b, alpha, d, n, tile, n_tiles)
+    return u, alpha, jnp.sum(b2p, axis=1), jnp.sum(ubp, axis=1)
+
+
+def _call_k1(k1, bands, vpad, v_pprev, beta, d, nb, n, tile, n_tiles):
+    f32 = jnp.float32
+    return pl.pallas_call(
         k1,
         grid=(n_tiles,),
         in_specs=[
@@ -138,14 +159,15 @@ def _fused_core(bands, v_prev, v_pprev, beta, b, offsets: Tuple[int, ...], tile:
             jax.ShapeDtypeStruct((d, 128), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, d, tile + 2 * _HPAD), v_prev.dtype),
+            pltpu.VMEM((2, d, tile + 2 * _HPAD), vpad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(bands, vpad, v_pprev, beta.astype(f32)[:, None])
-    alpha = jnp.sum(apart, axis=1)
 
-    k2 = functools.partial(_k2, TN=tile)
-    u, b2p, ubp = pl.pallas_call(
+
+def _call_k2(k2, w, v_prev, b, alpha, d, n, tile, n_tiles):
+    f32 = jnp.float32
+    return pl.pallas_call(
         k2,
         grid=(n_tiles,),
         in_specs=[
@@ -164,8 +186,7 @@ def _fused_core(bands, v_prev, v_pprev, beta, b, offsets: Tuple[int, ...], tile:
             jax.ShapeDtypeStruct((d, 128), f32),
             jax.ShapeDtypeStruct((d, 128), f32),
         ],
-    )(w, v_prev, b, alpha[:, None])
-    return u, alpha, jnp.sum(b2p, axis=1), jnp.sum(ubp, axis=1)
+    )(w, v_prev, b, alpha.astype(f32)[:, None])
 
 
 def fused_tile(op: KroneckerSumOperator, n: int) -> Optional[int]:

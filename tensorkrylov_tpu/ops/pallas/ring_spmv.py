@@ -140,6 +140,13 @@ def ring_spmv_local(
     """Per-shard body (call inside shard_map): bands (d, nb, nl), v (d, nl)."""
     d, nb, nl = bands.shape
     kernel = functools.partial(_kernel, offsets=offsets, axis_name=axis_name)
+    # x64 disabled at kernel-trace time: with jax_enable_x64 on, Pallas'
+    # internal index arithmetic produces int64 scalars Mosaic cannot lower
+    with jax.enable_x64(False):
+        return _call(kernel, bands, v, d, interpret, collective_id)
+
+
+def _call(kernel, bands, v, d, interpret, collective_id):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),

@@ -82,24 +82,47 @@ def _set_entry(H, i, j, vals):
     )
 
 
-def _recurrence_step(op, v_prev, v_pprev, beta, pdt):
+def _recurrence_step(op, v_prev, v_pprev, beta, b_acc, pdt, fused_tile_width=None):
     """One basis-free Lanczos step. Mirrors ops/orth.py:lanczos_step's
-    arithmetic exactly (same op order/dtypes) minus the basis write."""
-    u = spmv(op, v_prev)
-    u = u - beta.astype(u.dtype)[:, None] * v_pprev
-    alpha = jnp.einsum(
-        "dn,dn->d", u, v_prev, preferred_element_type=u.dtype
-    ).astype(pdt)
-    u = u - alpha.astype(u.dtype)[:, None] * v_prev
-    beta_new = jnp.sqrt(
-        jnp.einsum("dn,dn->d", u, u, preferred_element_type=u.dtype).astype(pdt)
-    )
+    arithmetic exactly (same op order/dtypes) minus the basis write.
+    Returns (v_new, alpha, beta_new, bt) with bt = <v_new, b>.
+
+    fused_tile_width routes the recurrence through the two-pass Pallas
+    kernel (ops/pallas/fused_lanczos.py) — same fusion win as the standard
+    driver's step_impl='fused'."""
+    if fused_tile_width is not None:
+        from .ops.pallas.fused_lanczos import fused_lanczos_core
+
+        u, alpha32, beta_sq32, ub = fused_lanczos_core(
+            op, v_prev, v_pprev, beta, b_acc, fused_tile_width
+        )
+        alpha = alpha32.astype(pdt)
+        beta_new = jnp.sqrt(beta_sq32.astype(pdt))
+        ub = ub.astype(pdt)
+    else:
+        u = spmv(op, v_prev)
+        u = u - beta.astype(u.dtype)[:, None] * v_pprev
+        alpha = jnp.einsum(
+            "dn,dn->d", u, v_prev, preferred_element_type=u.dtype
+        ).astype(pdt)
+        u = u - alpha.astype(u.dtype)[:, None] * v_prev
+        beta_new = jnp.sqrt(
+            jnp.einsum("dn,dn->d", u, u, preferred_element_type=u.dtype).astype(pdt)
+        )
+        ub = None
     scale = jnp.abs(alpha) + beta + jnp.asarray(1e-300, pdt)
     lucky = beta_new < 256.0 * jnp.finfo(u.dtype).eps * scale
     beta_new = jnp.where(lucky, 0.0, beta_new)
     safe = jnp.where(beta_new > 0, beta_new, 1.0)
     v_new = jnp.where(lucky[:, None], 0.0, u / safe.astype(u.dtype)[:, None])
-    return v_new, alpha, beta_new
+    if ub is None:
+        bt = jnp.einsum(
+            "dn,dn->d", v_new, b_acc, preferred_element_type=u.dtype
+        ).astype(pdt)
+    else:
+        # b̃_k = <u/β, b> = ub/β; a lucky factor's v_new is the zero vector
+        bt = jnp.where(lucky, 0.0, ub / safe)
+    return v_new, alpha, beta_new, bt
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -122,19 +145,24 @@ def _solve_pass1_jit(op, b, tables, config: SolverConfig):
         else None
     )
 
+    fused_w = None
+    if config.step_impl == "fused" and acc == jnp.float32:
+        from .ops.pallas.fused_lanczos import fused_tile
+
+        fused_w = fused_tile(op, n)
+
     btil0 = jnp.zeros((d, K), pdt).at[:, 0].set(
         jnp.einsum("dn,dn->d", v0, b_acc, preferred_element_type=acc).astype(pdt)
     )
 
     def body(c: _Carry) -> _Carry:
         k = c.k
-        v_new, alpha, beta_new = _recurrence_step(op, c.v_prev, c.v_pprev, c.beta, pdt)
+        v_new, alpha, beta_new, bt = _recurrence_step(
+            op, c.v_prev, c.v_pprev, c.beta, b_acc, pdt, fused_w
+        )
         H = _set_entry(c.H, k - 1, k - 1, alpha)
         H = _set_entry(H, k, k - 1, beta_new)
         H = _set_entry(H, k - 1, k, beta_new)
-        bt = jnp.einsum(
-            "dn,dn->d", v_new, b_acc, preferred_element_type=acc
-        ).astype(pdt)
         zero = jnp.zeros((), jnp.int32)
         btil = lax.dynamic_update_slice(c.btil, bt[:, None], (zero, k))
 

@@ -102,6 +102,26 @@ def test_fused_falls_back_on_f64():
     np.testing.assert_array_equal(np.asarray(st_f.V), np.asarray(st_x.V))
 
 
+def test_twopass_fused_recurrence_matches(interpret_mode):
+    from tensorkrylov_tpu.twopass import _recurrence_step
+
+    d, n = 2, 256
+    op = tk.laplace(d, n, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+    v = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    vpp = jnp.zeros_like(v)
+    beta = jnp.zeros((d,), jnp.float64)
+    f64 = jnp.float64
+
+    v1, a1, b1, bt1 = _recurrence_step(op, v, vpp, beta, b, f64)
+    v2, a2, b2, bt2 = _recurrence_step(op, v, vpp, beta, b, f64, fused_tile_width=256)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(bt2), np.asarray(bt1), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=0, atol=5e-5)
+
+
 def test_fused_tile_selection():
     op = tk.laplace(2, 8192, dtype=jnp.float32)
     assert fl.fused_tile(op, 8192) == 8192
