@@ -87,10 +87,13 @@ def select_bh(
     row = tables.grid[digit, order]
 
     errs = tables.err[row]                      # (TMAX,)
-    ok = errs <= tol
+    # ranks beyond the caller's tmax budget are not selectable (truncating
+    # the coefficient vectors below would corrupt the sum otherwise)
+    avail = jnp.arange(TMAX) < min(tmax, TMAX)
+    ok = (errs <= tol) & avail
     any_ok = jnp.any(ok)
     first_ok = jnp.argmax(ok)                   # smallest rank index meeting tol
-    best = jnp.argmin(jnp.where(jnp.isfinite(errs), errs, jnp.inf))
+    best = jnp.argmin(jnp.where(jnp.isfinite(errs) & avail, errs, jnp.inf))
     t_idx = jnp.where(any_ok, first_ok, best)
 
     omega = tables.omega[row, t_idx]
@@ -99,6 +102,9 @@ def select_bh(
         pad = ((0, tmax - TMAX),)
         omega = jnp.pad(omega, pad)
         alpha = jnp.pad(alpha, pad)
+    elif tmax < TMAX:
+        omega = omega[:tmax]
+        alpha = alpha[:tmax]
     rank = (t_idx + 1).astype(jnp.int32)
     t_mask = (jnp.arange(tmax) < rank).astype(dtype)
     return ExpSumCoeffs(omega, alpha, t_mask, rank, errs[t_idx])
