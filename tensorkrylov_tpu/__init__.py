@@ -7,7 +7,7 @@ for JAX/XLA/Pallas; capability reference: thbake/TensorKrylov.jl
 (see SURVEY.md / DESIGN.md at the repo root).
 """
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
-from .solver import solve, solve_multi_rhs
+from .solver import solve, solve_multi_rhs, MultiRhsResult, solve_host_projected, solve_resumable
 from .block import solve_block
 from .twopass import solve_two_pass
 from .refine import solve_refined, RefinedResult, cp_residual
@@ -38,6 +38,7 @@ __all__ = [
     "Status",
     "solve",
     "solve_multi_rhs",
+    "MultiRhsResult",
     "solve_block",
     "solve_two_pass",
     "solve_refined",

@@ -159,6 +159,7 @@ class _SmallB(NamedTuple):
     Y: jax.Array            # (d, Kb, tmax·R)
     rel_res: jax.Array      # (kmax+1,)
     r_comp: jax.Array
+    orth_h: jax.Array       # (kmax+1,) max |⟨q_new, b_r⟩|/‖b_r‖ drift probe
     lmin_h: jax.Array
     lmax_h: jax.Array
     rank_h: jax.Array
@@ -211,12 +212,24 @@ def _solve_block_jit(
             rank_h=sm.rank_h.at[k].set(ev.rank),
         )
 
+    # per-term RHS norms for the orthogonality probe: (d, 1, R)
+    Bn = jnp.moveaxis(
+        jnp.linalg.norm(B.astype(pdt), axis=2), 0, 1
+    )[:, None, :] + jnp.asarray(1e-300, pdt)
+
     def body(c: _BlockCarry) -> _BlockCarry:
         k = c.k
         state = block_krylov_step(op_c, c.state, B, k, R, proj_dtype=pdt)
+        # drift probe: the new block's b̃ rows ⟨q, b_r⟩ are 0 in exact
+        # arithmetic for k ≥ 1 (b_r spans block 0) — their measured size is
+        # genuine orthogonality loss, free from the step's own outputs
+        zero = jnp.zeros((), jnp.int32)
+        rows = lax.dynamic_slice(state.btil, (zero, k * R, zero), (d, R, R))
+        probe = jnp.max(jnp.abs(rows) / Bn)
+        sm = c.small._replace(orth_h=c.small.orth_h.at[k].set(probe))
         do_check = ((k % config.check_every) == 0) | (k >= config.kmax)
         small = lax.cond(
-            do_check, _evaluate, lambda args: args[0], (c.small, state.H, state.btil, k)
+            do_check, _evaluate, lambda args: args[0], (sm, state.H, state.btil, k)
         )
         return _BlockCarry(state=state, k=k + 1, small=small)
 
@@ -229,6 +242,7 @@ def _solve_block_jit(
             Y=jnp.zeros((d, K * R, tmax * R), pdt),
             rel_res=jnp.full((K,), jnp.inf, pdt),
             r_comp=jnp.full((K,), jnp.inf, pdt),
+            orth_h=jnp.zeros((K,), pdt),
             lmin_h=jnp.zeros((K,), pdt),
             lmax_h=jnp.zeros((K,), pdt),
             rank_h=jnp.zeros((K,), jnp.int32),
@@ -251,7 +265,7 @@ def _solve_block_jit(
         niterations=final.k - 1,
         relative_residual=sm.rel_res,
         projected_residual=sm.r_comp,
-        orthogonality=jnp.zeros((K,), pdt),
+        orthogonality=sm.orth_h,
         lambda_min=sm.lmin_h,
         lambda_max=sm.lmax_h,
         expsum_rank=sm.rank_h,

@@ -230,22 +230,34 @@ def _gate_col(V, v_new, k, active):
     return jnp.where(active, v_new, _col(V, k))
 
 
-def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth: bool, proj_dtype, active=None, fused: bool = False):
+def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth, proj_dtype, active=None, fused: bool = False, reorth_tol: float = 0.0):
     """One three-term-recurrence step producing basis vector k (all factors).
 
     Behavioural reference: /root/reference/src/orthogonal_bases.jl:39-139.
     Returns (state', orth_loss_estimate (scalar f64)). `active` (optional
     scalar bool) gates the state writes — see _apply_writes.
 
+    reorth: False (plain TTR) | True (always-on extra CGS sweep) | 'auto'
+    (loss-probe-triggered sweep via lax.cond — the reference's on-demand
+    semantics at /root/reference/src/orthogonal_bases.jl:119-131, with the
+    O(K·d·n) basis kept OUT of the conditional: only u (d, n) crosses it).
+    The probe is |⟨v_k, v_0⟩| = |⟨u, b⟩| / (β·‖b_s‖) — genuine measured
+    drift against the oldest basis vector, free because ⟨u, b⟩ is the b̃_k
+    entry every path computes anyway. reorth_tol: trigger threshold; 0 →
+    √eps of the compute dtype (reference uses √eps,
+    /root/reference/src/orthogonal_bases.jl:125).
+
     fused=True routes the recurrence core (stencil + α/β axpys + the α, β²,
     b̃ reductions) through the two-pass Pallas kernel
-    (ops/pallas/fused_lanczos.py) when shapes/dtypes allow — plain Lanczos
-    with f32 compute only; otherwise this silently stays on the XLA path.
+    (ops/pallas/fused_lanczos.py) when shapes/dtypes allow — plain/auto
+    modes with f32 compute only; otherwise this silently stays on the XLA
+    path (the resolved SolverConfig.step_impl records which path ran).
     """
     V, H, btil, beta = state
     dtype = V.dtype
     K, d, n = V.shape
     acc = _acc_dtype(dtype, proj_dtype)
+    mode = "auto" if reorth == "auto" else ("always" if reorth else "plain")
 
     # the working vector u lives in the compute dtype; V is read in its
     # (possibly narrower, bf16) storage dtype and promoted on-chip
@@ -253,17 +265,17 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     v_pprev = _col(V, jnp.maximum(k - 2, 0))
 
     tile = None
-    if fused and not reorth and acc == jnp.float32:
+    if fused and mode != "always" and acc == jnp.float32:
         from .pallas.fused_lanczos import fused_lanczos_core, fused_tile
 
         tile = fused_tile(op, n)
 
-    ub = None
+    loss = None
     if tile is not None:
-        u, alpha32, beta_sq32, ub = fused_lanczos_core(op, v_prev, v_pprev, beta, b, tile)
+        u, alpha32, beta_sq32, ub32 = fused_lanczos_core(op, v_prev, v_pprev, beta, b, tile)
         alpha = alpha32.astype(proj_dtype)
-        beta_new = jnp.sqrt(beta_sq32.astype(proj_dtype))
-        loss = jnp.asarray(0.0, proj_dtype)
+        beta_sq = beta_sq32.astype(proj_dtype)
+        ub = ub32.astype(proj_dtype)
     else:
         u = spmv(op, v_prev.astype(acc))
 
@@ -273,19 +285,42 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
         alpha = jnp.einsum("dn,dn->d", u, v_prev.astype(acc), preferred_element_type=acc).astype(proj_dtype)
         u = u - alpha.astype(acc)[:, None] * v_prev.astype(acc)
 
-        if reorth:
+        if mode == "always":
             # one extra classical-GS sweep against the whole active prefix
             w = _project_coeffs(V, u, k, proj_dtype)
             u = _subtract_span(V, u, w, k)
             # loss estimate: how non-orthogonal the raw vector was (excluding the
             # intentional alpha/beta components already removed)
             loss = jnp.linalg.norm(w)
-        else:
-            loss = jnp.asarray(0.0, proj_dtype)
 
-        beta_new = jnp.sqrt(
-            jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype)
-        )
+        beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype)
+        ub = jnp.einsum("dn,dn->d", u, b.astype(acc), preferred_element_type=acc).astype(proj_dtype)
+
+    # v_0-drift probe: |⟨u, b⟩|/(β‖b_s‖) = |⟨v_k, v_0⟩| (b̃[:, 0] = ‖b_s‖)
+    b_norms = btil[:, 0]
+    beta_pre = jnp.sqrt(jnp.maximum(beta_sq, jnp.asarray(1e-300, proj_dtype)))
+    probe = jnp.max(jnp.abs(ub) / (b_norms * beta_pre + jnp.asarray(1e-300, proj_dtype)))
+    if loss is None:
+        loss = probe
+
+    if mode == "auto":
+        import numpy as _np
+
+        thresh = reorth_tol if reorth_tol > 0.0 else float(_np.sqrt(_np.finfo(_np.dtype(acc)).eps))
+
+        def _sweep(u):
+            w = _project_coeffs(V, u, k, proj_dtype)
+            u2 = _subtract_span(V, u, w, k)
+            bs = jnp.einsum("dn,dn->d", u2, u2, preferred_element_type=acc).astype(proj_dtype)
+            ub2 = jnp.einsum("dn,dn->d", u2, b.astype(acc), preferred_element_type=acc).astype(proj_dtype)
+            return u2, bs, ub2
+
+        trigger = probe > jnp.asarray(thresh, proj_dtype)
+        if active is not None:
+            trigger = trigger & active
+        u, beta_sq, ub = lax.cond(trigger, _sweep, lambda u: (u, beta_sq, ub), u)
+
+    beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
     # lucky breakdown: the factor's Krylov space is invariant — restart with
     # a fresh orthogonal direction (see _replace_lucky); β stays 0 in H,
     # which is the genuine coupling. Threshold on the COMPUTE dtype's eps
@@ -299,22 +334,16 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     v_write = _gate_col(V, v_new, k, active)
 
     V = lax.dynamic_update_slice_in_dim(V, v_write.astype(dtype)[None], k, axis=0)
-    if ub is None:
-        bt_new = jnp.einsum(
-            "dn,dn->d", v_new, b.astype(acc), preferred_element_type=acc
-        ).astype(proj_dtype)
-    else:
-        # fused path already has <u, b>; b̃_k = <u/β, b> = ub/β — no extra
-        # pass over n. A lucky restart replaced v_new, so recompute then
-        # (cost paid only when a breakdown actually occurs).
-        bt_new = ub.astype(proj_dtype) / safe
-        bt_new = lax.cond(
-            jnp.any(lucky),
-            lambda: jnp.einsum(
-                "dn,dn->d", v_new, b.astype(u.dtype), preferred_element_type=u.dtype
-            ).astype(proj_dtype),
-            lambda: bt_new,
-        )
+    # b̃_k = ⟨u/β, b⟩ = ub/β — no extra pass over n. A lucky restart
+    # replaced v_new, so recompute then (cost paid only on actual breakdown).
+    bt_new = ub / safe
+    bt_new = lax.cond(
+        jnp.any(lucky),
+        lambda: jnp.einsum(
+            "dn,dn->d", v_new, b.astype(u.dtype), preferred_element_type=u.dtype
+        ).astype(proj_dtype),
+        lambda: bt_new,
+    )
     if active is not None:
         keep = lambda new, old: jnp.where(active, new, old)
         H_new = _set_entry(_set_entry(_set_entry(H, k - 1, k - 1, alpha), k, k - 1, beta_new), k - 1, k, beta_new)

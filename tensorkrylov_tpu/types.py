@@ -144,7 +144,11 @@ class SolverConfig:
 
     kmax: int = 128                  # max Krylov iterations (nmax in reference)
     tol: float = 1e-9
-    orth: str = "lanczos_reorth"     # 'lanczos' | 'lanczos_reorth' | 'arnoldi'
+    # 'lanczos' (plain TTR) | 'lanczos_reorth' (always-on extra CGS sweep) |
+    # 'lanczos_reorth_auto' (loss-probe-triggered sweep — the reference's
+    # on-demand semantics, /root/reference/src/orthogonal_bases.jl:119-131) |
+    # 'arnoldi' (CGS2)
+    orth: str = "lanczos_reorth"
     # spectral estimation source for the exp-sum interval:
     #  'H'                — Ritz values of projected H_s (default; tightest)
     #  'A_minor'          — eigvals of k×k minors of A_s (reference semantics,
@@ -161,13 +165,19 @@ class SolverConfig:
     check_every: int = 1
     # Krylov step implementation:
     #  'xla'   — jnp ops (portable: f64, sharding, vmap/multi-RHS)
-    #  'fused' — two-pass Pallas kernel for the plain-Lanczos recurrence
+    #  'fused' — two-pass Pallas kernel for the Lanczos recurrence
     #            (ops/pallas/fused_lanczos.py): stencil+axpys+all three
     #            reductions in 2 HBM passes. Applies only when
-    #            orth='lanczos' with f32 compute (f32/bf16 basis) on
-    #            unsharded single-RHS solves; otherwise silently falls
-    #            back to 'xla'.
-    step_impl: str = "xla"
+    #            orth='lanczos'/'lanczos_reorth_auto' with f32 compute
+    #            (f32/bf16 basis) on unsharded single-RHS solves.
+    #  'auto'  — pick 'fused' when eligible on TPU, else 'xla'. solve()
+    #            resolves this; the RESOLVED value is recorded in
+    #            SolveResult.config.step_impl (no silent-fallback guessing).
+    step_impl: str = "auto"
+    # trigger threshold for orth='lanczos_reorth_auto': probe |⟨v_k, v_0⟩|
+    # above this runs a full CGS sweep. 0.0 → √eps of the compute dtype
+    # (the reference's √eps, /root/reference/src/orthogonal_bases.jl:125).
+    reorth_tol: float = 0.0
     # Eigendecomposition of the projected H minors:
     #  'auto'          — dense LAPACK-style eigh on CPU, mixed-precision
     #                    tridiagonal solver on TPU (where f64 eigh is
@@ -202,12 +212,14 @@ class SolverConfig:
     cancel_floor_rel: float = 64.0
 
     def __post_init__(self):
-        assert self.orth in ("lanczos", "lanczos_reorth", "arnoldi"), self.orth
+        assert self.orth in (
+            "lanczos", "lanczos_reorth", "lanczos_reorth_auto", "arnoldi"
+        ), self.orth
         assert self.spectral_source in ("H", "A_minor", "analytic_laplace")
         assert self.coeff_tol_scale in ("kappa", "reference")
         assert self.bh_row_select in ("ceil", "reference")
         assert self.eigh_impl in ("auto", "dense", "tridiag_mixed")
-        assert self.step_impl in ("xla", "fused")
+        assert self.step_impl in ("auto", "xla", "fused")
 
 
 @_pytree_dataclass(static=("config",))
