@@ -25,9 +25,13 @@ Per-factor HBM traffic for a tridiagonal factor drops from ~16·n elements
 (nb + 9)·n = 12·n, and the kernel count per iteration shrinks — which also
 matters for dispatch-bound small-n solves.
 
-The v_prev tile is fetched with a halo by the same double-buffered manual
-DMA as banded_spmv.py. Accumulators are (d, 128) lane-partial sums reduced
-on the host side of the pallas_call (one tiny XLA reduce).
+The v_prev tile halo is NOT a manual overlapped DMA: Mosaic requires DMA
+slice shapes 8-aligned in the sublane (d) dimension, which breaks odd d
+(e.g. the d=10 flagship). Instead the kernel reads plain BlockSpec tiles
+(automatically double-buffered) plus a tiny pre-gathered `edges` array
+(n_tiles, d, 2·128) holding each tile's halo columns — O(n_tiles·d·256)
+elements, negligible HBM traffic. Accumulators are (d, 128) lane-partial
+sums reduced on the host side of the pallas_call (one tiny XLA reduce).
 
 f32 compute only (TPU Pallas has no f64): used when the step's compute
 dtype is f32 — i.e. f32 or bf16 basis storage (bf16 V is read in storage
@@ -51,45 +55,25 @@ __all__ = ["fused_lanczos_core", "fused_tile"]
 _HPAD = 128  # halo padding rounded to the lane tiling (DMA 128-alignment)
 
 
-def _k1(bands_ref, vpad_hbm, vpp_ref, beta_ref, w_ref, apart_ref, vbuf, sems, *, offsets, TN, n_tiles):
+def _k1(bands_ref, v_ref, edges_ref, vpp_ref, beta_ref, w_ref, apart_ref, *, offsets, TN):
     ti = pl.program_id(0)
-
-    def get_dma(slot, t):
-        # explicit i32 starts: under jax_enable_x64 python-int index math
-        # lowers to int64, which Mosaic cannot convert (infinite recursion
-        # in _convert_helper)
-        start = jnp.asarray(t, jnp.int32) * TN
-        return pltpu.make_async_copy(
-            vpad_hbm.at[:, pl.ds(start, TN + 2 * _HPAD)],
-            vbuf.at[jnp.asarray(slot, jnp.int32)],
-            sems.at[jnp.asarray(slot, jnp.int32)],
-        )
-
-    cur = ti % 2
-    nxt = (ti + 1) % 2
-
-    @pl.when(ti == 0)
-    def _():
-        get_dma(0, 0).start()
-
-    @pl.when(ti + 1 < n_tiles)
-    def _():
-        get_dma(nxt, ti + 1).start()
-
-    get_dma(cur, ti).wait()
-
     f32 = jnp.float32
+    # halo'd tile: [left halo (128) | center (TN) | right halo (128)] built
+    # in-registers from the BlockSpec tile + this tile's pre-gathered edges
+    vc = v_ref[:, :]
+    vext = jnp.concatenate(
+        [edges_ref[0, :, :_HPAD], vc, edges_ref[0, :, _HPAD:]], axis=-1
+    )
     acc = None
     for bidx, off in enumerate(offsets):
-        shifted = vbuf[cur, :, _HPAD + off : _HPAD + off + TN].astype(f32)
+        shifted = vext[:, _HPAD + off : _HPAD + off + TN].astype(f32)
         term = bands_ref[:, bidx, :].astype(f32) * shifted
         acc = term if acc is None else acc + term
     w = acc - beta_ref[:, 0:1].astype(f32) * vpp_ref[:, :].astype(f32)
     w_ref[:, :] = w
 
-    vc = vbuf[cur, :, _HPAD : _HPAD + TN].astype(f32)
     d = w.shape[0]
-    part = jnp.sum((w * vc).reshape(d, TN // 128, 128), axis=1)
+    part = jnp.sum((w * vc.astype(f32)).reshape(d, TN // 128, 128), axis=1)
 
     @pl.when(ti == 0)
     def _():
@@ -123,14 +107,23 @@ def _fused_core(bands, v_prev, v_pprev, beta, b, offsets: Tuple[int, ...], tile:
     f32 = jnp.float32
     if b.dtype == jnp.float64:  # Mosaic has no f64; f32/bf16 pass through
         b = b.astype(f32)
-    vpad = jnp.pad(v_prev, ((0, 0), (_HPAD, _HPAD)))
 
-    k1 = functools.partial(_k1, offsets=offsets, TN=tile, n_tiles=n_tiles)
+    # per-tile halo columns (tiny gather: n_tiles × d × 256 elements):
+    # edges[t, :, :128]  = v_prev columns [t·TN−128, t·TN)  (zeros at t=0)
+    # edges[t, :, 128:]  = v_prev columns [(t+1)·TN, +128)  (zeros at end)
+    vpad = jnp.pad(v_prev, ((0, 0), (_HPAD, _HPAD)))
+    starts = jnp.arange(n_tiles) * tile                       # tile origins
+    il = starts[:, None] + jnp.arange(_HPAD)[None, :]         # left-halo cols (vpad idx)
+    ir = starts[:, None] + tile + _HPAD + jnp.arange(_HPAD)[None, :]
+    idx = jnp.concatenate([il, ir], axis=1)                   # (n_tiles, 256)
+    edges = jnp.transpose(vpad[:, idx], (1, 0, 2))            # (n_tiles, d, 256)
+
+    k1 = functools.partial(_k1, offsets=offsets, TN=tile)
     # x64 disabled at kernel-trace time: with jax_enable_x64 on (the solver's
     # projected algebra needs f64) Pallas' internal index arithmetic produces
     # int64 scalars that Mosaic cannot lower
     with jax.enable_x64(False):
-        w, apart = _call_k1(k1, bands, vpad, v_pprev, beta, d, nb, n, tile, n_tiles)
+        w, apart = _call_k1(k1, bands, v_prev, edges, v_pprev, beta, d, nb, n, tile, n_tiles)
     alpha = jnp.sum(apart, axis=1)
 
     k2 = functools.partial(_k2, TN=tile)
@@ -139,14 +132,15 @@ def _fused_core(bands, v_prev, v_pprev, beta, b, offsets: Tuple[int, ...], tile:
     return u, alpha, jnp.sum(b2p, axis=1), jnp.sum(ubp, axis=1)
 
 
-def _call_k1(k1, bands, vpad, v_pprev, beta, d, nb, n, tile, n_tiles):
+def _call_k1(k1, bands, v_prev, edges, v_pprev, beta, d, nb, n, tile, n_tiles):
     f32 = jnp.float32
     return pl.pallas_call(
         k1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((d, nb, tile), lambda ti: (0, 0, ti), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((d, tile), lambda ti: (0, ti), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, 2 * _HPAD), lambda ti: (ti, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tile), lambda ti: (0, ti), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 1), lambda ti: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -158,11 +152,7 @@ def _call_k1(k1, bands, vpad, v_pprev, beta, d, nb, n, tile, n_tiles):
             jax.ShapeDtypeStruct((d, n), f32),
             jax.ShapeDtypeStruct((d, 128), f32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, d, tile + 2 * _HPAD), vpad.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(bands, vpad, v_pprev, beta.astype(f32)[:, None])
+    )(bands, v_prev, edges, v_pprev, beta.astype(f32)[:, None])
 
 
 def _call_k2(k2, w, v_prev, b, alpha, d, n, tile, n_tiles):
