@@ -103,6 +103,7 @@ def test_block_kmax_clamped_to_space():
     assert np.all(np.isfinite(rr))
 
 
+@pytest.mark.slow
 def test_block_shares_subspace_fewer_matvecs():
     """The shared subspace converges in no more block iterations than the
     worst independent solve needs scalar iterations (same per-factor matvec

@@ -16,6 +16,7 @@ def _run(*args, timeout=240):
     )
 
 
+@pytest.mark.slow
 def test_cli_info():
     r = _run("info", "--cpu")
     assert r.returncode == 0
@@ -23,6 +24,7 @@ def test_cli_info():
     assert payload["backend"] == "cpu"
 
 
+@pytest.mark.slow
 def test_cli_solve(tmp_path):
     out = tmp_path / "traces.json"
     r = _run("solve", "--gallery", "laplace", "--d", "3", "--n", "40",

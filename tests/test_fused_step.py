@@ -47,6 +47,7 @@ def test_fused_core_matches_jnp(interpret_mode):
     )
 
 
+@pytest.mark.slow
 def test_fused_step_matches_xla_step(interpret_mode):
     d, n, kmax = 2, 256, 6
     op = tk.laplace(d, n, dtype=jnp.float32)
@@ -72,6 +73,7 @@ def test_fused_step_matches_xla_step(interpret_mode):
     )
 
 
+@pytest.mark.slow
 def test_fused_step_bf16_storage(interpret_mode):
     d, n, kmax = 2, 256, 4
     op = tk.laplace(d, n, dtype=jnp.float32)
@@ -90,6 +92,7 @@ def test_fused_step_bf16_storage(interpret_mode):
     )
 
 
+@pytest.mark.slow
 def test_fused_falls_back_on_f64():
     # f64 basis → compute dtype f64 → Pallas path must be skipped entirely
     d, n = 2, 256

@@ -42,6 +42,7 @@ def test_decode_reproduction_blobs():
             assert tr["relative_residual"][0] == 1.0
 
 
+@pytest.mark.slow
 def test_golden_parity_laplace_d100():
     """Same inputs → same residual trajectory as the recorded Julia run,
     then convergence beyond its breakdown point."""
@@ -79,6 +80,7 @@ def test_golden_parity_laplace_d100():
     assert ours[ni] < ref[k_ref - 1]
 
 
+@pytest.mark.slow
 def test_golden_nonsym_d100_matches_or_beats():
     """ConvDiff (Arnoldi + Stenger): on the reference's exact inputs our
     residual trajectory is at least as good as its recorded one at every

@@ -54,6 +54,7 @@ def _dense_oracle(H, Y, btil, w, k):
 
 
 @pytest.mark.parametrize("sym", [True, False])
+@pytest.mark.slow
 def test_residual_terms_vs_dense(rng, sym):
     H, Y, btil, w, subdiag, k, t = _dense_setup(rng, sym=sym)
     Hy, bfull = _dense_oracle(H, Y, btil, w, k)

@@ -60,6 +60,7 @@ def _run_steps(op, b, kmax, stepper):
 
 
 @pytest.mark.parametrize("reorth", [False, True])
+@pytest.mark.slow
 def test_lanczos_orthonormal_and_projects(reorth):
     d, n, kmax = 2, 40, 15
     op = tk.laplace(d, n)
@@ -82,6 +83,7 @@ def test_lanczos_orthonormal_and_projects(reorth):
     assert float(orthogonality_loss(state.V, kmax + 1)) < 1e-7
 
 
+@pytest.mark.slow
 def test_arnoldi_orthonormal_and_hessenberg():
     d, n, kmax = 2, 40, 15
     op = tk.conv_diff(d, n)
@@ -103,6 +105,7 @@ def test_arnoldi_orthonormal_and_hessenberg():
         np.testing.assert_allclose(low, 0.0, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_lanczos_btil_tracks_rhs():
     d, n, kmax = 2, 30, 10
     op = tk.laplace(d, n)

@@ -40,6 +40,7 @@ def test_cp_round_exact_rank_recovery():
     assert err < 1e-8  # floor set by the default ridge regularization
 
 
+@pytest.mark.slow
 def test_cp_residual_matches_dense():
     op = tk.laplace(3, 20)
     b = _normalized_rhs(3, 20, 2)
@@ -50,6 +51,7 @@ def test_cp_residual_matches_dense():
     np.testing.assert_allclose(rel, dense, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_refined_beats_single_shot_at_same_kmax():
     """With kmax too small for one-shot convergence, restarts must reach the
     target anyway — bounded-memory capability."""
@@ -67,6 +69,7 @@ def test_refined_beats_single_shot_at_same_kmax():
     assert h[-1] < h[0] * 1e-3
 
 
+@pytest.mark.slow
 def test_refined_solution_rank_bound():
     """Rounding the accumulated solution bounds its CP rank; attainable tol
     is limited by ‖A‖ × the rank-fit error (see refine.py docstring)."""

@@ -35,6 +35,7 @@ def _run_steps(op, b, k_steps, reorth):
     return state, loss_hist
 
 
+@pytest.mark.slow
 def test_auto_reorth_restores_orthogonality():
     op, b = _hard_op_rhs()
     k = 40
@@ -60,6 +61,7 @@ def test_auto_matches_always_solution_quality(rng):
     assert ra < 1e-9 and rb < 1e-9
 
 
+@pytest.mark.slow
 def test_probe_telemetry_nonzero_plain():
     """Plain Lanczos must report a measured (nonzero) drift probe, not 0.0
     (round-1 VERDICT weak #4)."""
@@ -80,6 +82,7 @@ def test_solver_orthogonality_telemetry_nonzero():
     assert orth[-1] > orth[0]
 
 
+@pytest.mark.slow
 def test_twopass_and_block_telemetry_nonzero(rng):
     op = tk.laplace(2, 24)
     b = jnp.asarray(rng.normal(size=(2, 24)))

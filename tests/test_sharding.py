@@ -28,6 +28,7 @@ def test_sharded_spmv_matches(mesh8):
     np.testing.assert_allclose(out, ref, rtol=1e-13)
 
 
+@pytest.mark.slow
 def test_sharded_solve_matches_unsharded(mesh8):
     op = tk.laplace(3, 32)
     b = tk.random_rhs(3, 32, seed=5)
@@ -46,6 +47,7 @@ def test_sharded_solve_matches_unsharded(mesh8):
     assert tk.kron_residual_dense(op, r_sh.x, np.asarray(b)) < 1e-8
 
 
+@pytest.mark.slow
 def test_factor_parallel_mesh(mesh8):
     mesh = make_mesh(8, factor_parallel=2)
     op = tk.laplace(2, 32)

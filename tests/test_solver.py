@@ -28,6 +28,7 @@ def test_spd_laplace_e2e():
     assert rr[-1] < rr[0]
 
 
+@pytest.mark.slow
 def test_nonsym_convdiff_e2e():
     op = tk.conv_diff(3, 30)
     b = _normalized_rhs(3, 30, 8)
@@ -194,6 +195,7 @@ def test_single_mode_d1():
     assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-8
 
 
+@pytest.mark.slow
 def test_host_projected_matches_device():
     """Hybrid host-projected mode must match the all-device solve."""
     from tensorkrylov_tpu.solver import solve_host_projected
@@ -266,6 +268,7 @@ def test_cp_compress():
 
 
 
+@pytest.mark.slow
 def test_monotone_Anorm_error():
     """Galerkin property: the A-norm error is non-increasing in the subspace
     size (the reference intended but never ran this check,
@@ -291,6 +294,7 @@ def test_monotone_Anorm_error():
         assert bb <= a * (1 + 1e-6), errs
 
 
+@pytest.mark.slow
 def test_host_projected_nonsym_exact_lmin():
     """Nonsym host-projected mode uses exact host eigenvalues for λ_min —
     the chosen Stenger rank must not exceed the device (Bendixson-bound)
