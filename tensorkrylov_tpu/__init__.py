@@ -11,12 +11,14 @@ from .solver import solve, solve_multi_rhs, MultiRhsResult, solve_host_projected
 from .block import solve_block
 from .twopass import solve_two_pass
 from .refine import solve_refined, RefinedResult, cp_residual
+from .deflate import solve_deflated, deflation_basis, DeflationBasis, DeflatedResult
 from .system import TensorizedSystem, random_rhs, solve_tensorized_system
 from .models import gallery
 from .models.gallery import (
     conv_diff,
     eigval_matrix,
     laplace,
+    reaction_diffusion,
     operator_from_dense_factors,
     rand_spd,
 )
@@ -42,6 +44,10 @@ __all__ = [
     "solve_block",
     "solve_two_pass",
     "solve_refined",
+    "solve_deflated",
+    "deflation_basis",
+    "DeflationBasis",
+    "DeflatedResult",
     "RefinedResult",
     "cp_residual",
     "cp_axpy",
@@ -52,6 +58,7 @@ __all__ = [
     "solve_tensorized_system",
     "gallery",
     "laplace",
+    "reaction_diffusion",
     "conv_diff",
     "eigval_matrix",
     "rand_spd",

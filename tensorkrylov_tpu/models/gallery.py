@@ -17,6 +17,7 @@ from ..types import KroneckerSumOperator
 
 __all__ = [
     "laplace",
+    "reaction_diffusion",
     "conv_diff",
     "eigval_matrix",
     "rand_spd",
@@ -44,16 +45,32 @@ def _banded_operator(diags: dict, d: int, n: int, dtype, symmetric: bool) -> Kro
     return KroneckerSumOperator(jnp.asarray(stacked, dtype=dtype), offsets, symmetric)
 
 
-def laplace(d: int, n: int, dtype=jnp.float64) -> KroneckerSumOperator:
-    """1-D Dirichlet Laplacian factors: (1/h²)·tridiag(-1, 2, -1), h = 1/(n+1).
+def laplace(d: int, n: int, dtype=jnp.float64, shift: float = 0.0) -> KroneckerSumOperator:
+    """1-D Dirichlet Laplacian factors: (1/h²)·tridiag(-1, 2, -1), h = 1/(n+1),
+    plus an optional diagonal shift σ·I per factor.
 
     Reference: LaplaceDense/Laplace, /root/reference/src/tensor_struct.jl:48-57
     (dense vs sparse storage is a non-distinction here — both map to bands).
+    The shift is the diagonal-α device of the reference's parameterized
+    condition-number experiments (/root/reference/experiments/parameterized_systems.jl:3-71).
     """
     h2inv = float((n + 1) ** 2)
     return _banded_operator(
-        {-1: -h2inv, 0: 2.0 * h2inv, 1: -h2inv}, d, n, dtype, symmetric=True
+        {-1: -h2inv, 0: 2.0 * h2inv + float(shift), 1: -h2inv}, d, n, dtype, symmetric=True
     )
+
+
+def reaction_diffusion(d: int, n: int, sigma: float, dtype=jnp.float64) -> KroneckerSumOperator:
+    """σu − Δu factors: the shifted Laplacian (σ + 4/h²·sin²)·spectrum.
+
+    One implicit-Euler step of a d-dimensional heat/reaction equation with
+    time step Δt = 1/σ on an n^d tensor grid — the physically standard way a
+    Kronecker-sum system with a *controlled* condition number arises in
+    production (κ ≈ (σ + 4(n+1)²)/(σ + π²)). Same family as the reference's
+    diagonal-shift parameterized systems
+    (/root/reference/experiments/parameterized_systems.jl:3-41).
+    """
+    return laplace(d, n, dtype=dtype, shift=float(sigma))
 
 
 def conv_diff(d: int, n: int, c: float = 10.0, dtype=jnp.float64) -> KroneckerSumOperator:

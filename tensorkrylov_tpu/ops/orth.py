@@ -181,7 +181,7 @@ def _subtract_span(V, u, w, k):
     return lax.fori_loop(0, nb, body, u)
 
 
-def _replace_lucky(V, v_new, lucky, k, proj_dtype):
+def _replace_lucky(V, v_new, lucky, k, proj_dtype, deflate_U=None):
     """Lucky-breakdown restart: for factors whose new Krylov vector vanished
     (β ≈ 0 — the space is A-invariant), continue with a fresh deterministic
     pseudo-random direction orthogonalized against the existing basis.
@@ -205,6 +205,8 @@ def _replace_lucky(V, v_new, lucky, k, proj_dtype):
         vr = jnp.cos((i[None, :] + 0.7) * (1.0 + 0.01 * s) + 0.37 * kf)
         nrm0 = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
         for _ in range(2):  # CGS twice against the existing prefix
+            if deflate_U is not None:  # the restart must stay in U-complement
+                vr = deflation_project(vr, deflate_U, cdt)
             w = _project_coeffs(V, vr, k, proj_dtype)
             vr = _subtract_span(V, vr, w, k)
         nrm = jnp.sqrt(jnp.sum(vr.astype(proj_dtype) ** 2, axis=1))
@@ -230,7 +232,19 @@ def _gate_col(V, v_new, k, active):
     return jnp.where(active, v_new, _col(V, k))
 
 
-def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth, proj_dtype, active=None, fused: bool = False, reorth_tol: float = 0.0):
+def deflation_project(u: jax.Array, U: jax.Array, acc) -> jax.Array:
+    """u − U (Uᵀ u) per factor. U: (1, n, m) shared across factors (one GEMM
+    pass over U regardless of d — the identical-factor fast path) or
+    (d, n, m) distinct."""
+    Ua = U.astype(acc)
+    if Ua.shape[0] == 1:
+        coeff = jnp.einsum("nm,dn->dm", Ua[0], u, preferred_element_type=acc)
+        return u - jnp.einsum("nm,dm->dn", Ua[0], coeff, preferred_element_type=acc)
+    coeff = jnp.einsum("snm,sn->sm", Ua, u, preferred_element_type=acc)
+    return u - jnp.einsum("snm,sm->sn", Ua, coeff, preferred_element_type=acc)
+
+
+def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth, proj_dtype, active=None, fused: bool = False, reorth_tol: float = 0.0, deflate_U=None):
     """One three-term-recurrence step producing basis vector k (all factors).
 
     Behavioural reference: /root/reference/src/orthogonal_bases.jl:39-139.
@@ -265,7 +279,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     v_pprev = _col(V, jnp.maximum(k - 2, 0))
 
     tile = None
-    if fused and mode != "always" and acc == jnp.float32:
+    if fused and mode != "always" and acc == jnp.float32 and deflate_U is None:
         from .pallas.fused_lanczos import fused_lanczos_core, fused_tile
 
         tile = fused_tile(op, n)
@@ -284,6 +298,13 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
 
         alpha = jnp.einsum("dn,dn->d", u, v_prev.astype(acc), preferred_element_type=acc).astype(proj_dtype)
         u = u - alpha.astype(acc)[:, None] * v_prev.astype(acc)
+
+        if deflate_U is not None:
+            # deflated Lanczos (deflate.py): keep the recurrence in the
+            # orthogonal complement of the deflated invariant subspace —
+            # without this per-step re-projection, roundoff re-grows the
+            # deflated low modes, which exp(−γ_j·) then amplifies
+            u = deflation_project(u, deflate_U, acc)
 
         if mode == "always":
             # one extra classical-GS sweep against the whole active prefix
@@ -330,7 +351,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     beta_new = jnp.where(lucky, 0.0, beta_new)
     safe = jnp.where(beta_new > 0, beta_new, 1.0)
     v_new = u / safe.astype(u.dtype)[:, None]
-    v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype)
+    v_new = _replace_lucky(V, v_new, lucky, k, proj_dtype, deflate_U=deflate_U)
     v_write = _gate_col(V, v_new, k, active)
 
     V = lax.dynamic_update_slice_in_dim(V, v_write.astype(dtype)[None], k, axis=0)

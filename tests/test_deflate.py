@@ -1,0 +1,143 @@
+"""Deflated solver tests — densify-oracle pattern (d ≤ 3, n ≤ 40).
+
+The deflation capability has no reference counterpart (it is what makes the
+production-size flagship feasible, see deflate.py docstring); correctness is
+asserted against the dense np.kron oracle and the rigorous-bound contract
+true ‖r‖ ≤ certified_bound.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import tensorkrylov_tpu as tk
+from tensorkrylov_tpu.deflate import expsum_sup_error
+from tensorkrylov_tpu.models.gallery import bands_to_dense
+from tensorkrylov_tpu.types import KroneckerSumOperator
+
+
+def _distinct_shifted(d, n, base_shift=50.0):
+    op = tk.laplace(d, n, shift=base_shift)
+    bands = np.asarray(op.bands).copy()
+    for s in range(d):
+        bands[s, 1, :] += 5.0 * s
+    return KroneckerSumOperator(jnp.asarray(bands), op.offsets, True)
+
+
+def test_deflation_basis_tridiag_eigenpairs():
+    op = tk.laplace(3, 30, shift=7.0)
+    basis = tk.deflation_basis(op, 6)
+    assert basis.U.shape == (1, 30, 6)  # identical factors → shared
+    U = np.asarray(basis.U)[0]
+    lam = np.asarray(basis.lam)
+    A = bands_to_dense(op)[0]
+    assert np.abs(U.T @ U - np.eye(6)).max() < 1e-12
+    assert np.abs(A @ U - U * lam[0][None, :]).max() < 1e-9
+    w = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(lam[0], w[:6], rtol=1e-10)
+
+
+def test_deflation_basis_distinct_and_dense_fallback():
+    op = _distinct_shifted(3, 20)
+    basis = tk.deflation_basis(op, 4)
+    assert basis.U.shape == (3, 20, 4)
+    A = bands_to_dense(op)
+    for s in range(3):
+        w = np.linalg.eigvalsh(A[s])
+        np.testing.assert_allclose(np.asarray(basis.lam)[s], w[:4], rtol=1e-10)
+
+    # pentadiagonal SPD → dense eigh fallback path
+    n = 16
+    T = np.diag(np.full(n, 4.0)) + np.diag(np.full(n - 1, -1.0), 1) \
+        + np.diag(np.full(n - 1, -1.0), -1) + np.diag(np.full(n - 2, -0.3), 2) \
+        + np.diag(np.full(n - 2, -0.3), -2)
+    op5 = tk.operator_from_dense_factors(np.stack([T] * 2), symmetric=True)
+    b5 = tk.deflation_basis(op5, 3)
+    w = np.linalg.eigvalsh(T)
+    np.testing.assert_allclose(np.asarray(b5.lam)[0], w[:3], rtol=1e-10)
+
+
+def test_deflated_solve_certified_vs_dense_oracle():
+    op = tk.laplace(3, 30, shift=50.0)
+    b = tk.random_rhs(3, 30, seed=7)
+    res = tk.solve_deflated(
+        op, b, tk.SolverConfig(kmax=30, tol=1e-7), m=6, checkpoints=[8, 16, 24, 30]
+    )
+    assert res.converged
+    true_r = float(tk.kron_residual_dense(op, res.x, np.asarray(b)))
+    assert true_r <= res.certified_bound[-1] + 1e-14  # the bound is a bound
+    assert true_r < 1e-7
+    # estimates decrease and the boundary part actually converged
+    assert res.relative_residual[0] > res.relative_residual[-1]
+
+
+def test_deflated_solve_distinct_factors():
+    op = _distinct_shifted(3, 30)
+    b = tk.random_rhs(3, 30, seed=3)
+    res = tk.solve_deflated(
+        op, b, tk.SolverConfig(kmax=30, tol=1e-7), m=5, checkpoints=[10, 20, 30]
+    )
+    assert res.converged
+    true_r = float(tk.kron_residual_dense(op, res.x, np.asarray(b)))
+    assert true_r <= res.certified_bound[-1] + 1e-14
+
+
+def test_deflation_reduces_iterations():
+    """The point of deflation: fewer Krylov steps to the same certificate on
+    a stiff (large-κ) problem."""
+    n, d = 40, 2
+    op = tk.laplace(d, n, shift=1.0)  # κ ~ 2.6e3
+    b = tk.random_rhs(d, n, seed=11)
+    cks = list(range(4, n + 1, 4))
+    plain = tk.solve_deflated(op, b, tk.SolverConfig(kmax=n, tol=1e-6), m=1,
+                              checkpoints=cks, certify=False)
+    defl = tk.solve_deflated(op, b, tk.SolverConfig(kmax=n, tol=1e-6), m=12,
+                             checkpoints=cks, certify=False)
+    assert defl.converged
+    assert defl.niterations < plain.niterations
+
+
+def test_deflated_basis_stays_U_orthogonal():
+    """The per-step re-projection keeps the Krylov basis in the U-complement
+    (drift would poison the joint-basis residual algebra)."""
+    from tensorkrylov_tpu.ops.orth import init_state, lanczos_step
+
+    op = tk.laplace(2, 30, shift=5.0)
+    basis = tk.deflation_basis(op, 5)
+    b = tk.random_rhs(2, 30, seed=1)
+    U = basis.U
+    pdt = jnp.float64
+    c = jnp.einsum("nm,dn->dm", U[0].astype(pdt), b.astype(pdt))
+    b_perp = b.astype(pdt) - jnp.einsum("nm,dm->dn", U[0].astype(pdt), c)
+    state, _ = init_state(op, b_perp, 20, pdt)
+    for k in range(1, 21):
+        state, _ = lanczos_step(
+            op, state, b_perp, k, reorth=False, proj_dtype=pdt, deflate_U=U
+        )
+    V = np.asarray(state.V)  # (K, d, n)
+    drift = np.abs(np.einsum("nm,kdn->kdm", np.asarray(U)[0], V)).max()
+    assert drift < 1e-12
+
+
+def test_expsum_sup_error_matches_table_scale():
+    """sup|1 − x g(x)| on [1, κ] is ~ ε·κ for the selected table row."""
+    from tensorkrylov_tpu.coeffs.tables import load_tables, select_bh
+
+    tables = load_tables()
+    kappa = 1e3
+    coeffs = select_bh(jnp.asarray(kappa), 1e-10, tables)
+    sup = expsum_sup_error(coeffs.omega, coeffs.alpha, kappa)
+    err = float(coeffs.err)
+    assert sup <= err * kappa * 1.2
+    assert sup >= err * 0.5  # not absurdly below the tabulated accuracy
+
+
+def test_deflated_input_validation():
+    op = tk.conv_diff(2, 16)
+    with pytest.raises(ValueError):
+        tk.solve_deflated(op, tk.random_rhs(2, 16, seed=0), m=2)
+    ops = tk.laplace(2, 16)
+    with pytest.raises(ValueError):
+        tk.deflation_basis(ops, 0)
+    with pytest.raises(ValueError):
+        tk.deflation_basis(ops, 16)
