@@ -44,6 +44,7 @@ def main():
     p.add_argument("--d", type=int, default=8)
     p.add_argument("--log2n", type=int, default=20)
     p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--weak-scaling", action="store_true", help="weak-scaling efficiency sweep over 1..all devices")
     args = p.parse_args()
 
     import jax
@@ -62,7 +63,7 @@ def main():
     v = jnp.asarray(np.random.default_rng(0).standard_normal((d, n)), jnp.float32)
 
     g = measure(spmv, op, v, args.iters, jax, jnp)
-    print(f"single-device: {g/1e9:.1f} Gnnz/s")
+    print(f"single-device: {g/1e9:.1f} Gnnz/s", flush=True)
 
     if args.devices > 1:
         from tensorkrylov_tpu.parallel import make_mesh, shard_operator, shard_rhs
@@ -75,6 +76,44 @@ def main():
             f"{args.devices}-device GSPMD: {gs/1e9:.1f} Gnnz/s "
             f"({gs/g/args.devices*100:.0f}% scaling efficiency)"
         )
+
+    if args.weak_scaling:
+        weak_scaling(args, jax, jnp, tk, spmv)
+
+
+def weak_scaling(args, jax, jnp, tk, spmv):
+    """Weak-scaling protocol (BASELINE.json config 5, ≥80% target): per-mode
+    rows per device held constant at n = 2^log2n, total problem grows with
+    the device count; report nnz/s and efficiency vs 1 device × D.
+
+    On a pod this measures real ICI halo overlap; on the CPU backend (8
+    virtual devices) it validates the protocol and the collective layout.
+    """
+    import numpy as np
+
+    from tensorkrylov_tpu.parallel import make_mesh, shard_operator, shard_rhs
+
+    d, n_per = args.d, 1 << args.log2n
+    base = None
+    results = {}
+    D = 1
+    while D <= len(jax.devices()):
+        n = n_per * D
+        op = tk.laplace(d, n, dtype=jnp.float32)
+        v = jnp.asarray(
+            np.random.default_rng(0).standard_normal((d, n)), jnp.float32
+        )
+        mesh = make_mesh(D)
+        gs = measure(spmv, shard_operator(op, mesh), shard_rhs(v, mesh),
+                     args.iters, jax, jnp)
+        if base is None:
+            base = gs
+        eff = gs / (base * D)
+        results[D] = (gs, eff)
+        print(f"weak-scaling D={D}: n={n} {gs/1e9:.1f} Gnnz/s "
+              f"(eff {eff*100:.0f}%)", flush=True)
+        D *= 2
+    return results
 
 
 if __name__ == "__main__":

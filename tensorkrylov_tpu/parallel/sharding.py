@@ -88,6 +88,14 @@ def solve_sharded(
         import dataclasses
 
         config = dataclasses.replace(config, step_impl="xla")
-    op = shard_operator(op, mesh)
-    b = shard_rhs(jnp.asarray(b), mesh)
+    if jax.process_count() > 1:
+        # multi-process: every process holds the host copy; placement must
+        # go through addressable-shard construction (device_put cannot
+        # target non-addressable devices)
+        from .multihost import distribute_problem
+
+        op, b = distribute_problem(op, jnp.asarray(b), mesh)
+    else:
+        op = shard_operator(op, mesh)
+        b = shard_rhs(jnp.asarray(b), mesh)
     return solve(op, b, config)
