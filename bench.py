@@ -122,6 +122,16 @@ def main():
     cpu_gnnz = _bench_spmv_cpu()
     iters_per_s = _bench_solver_iterations(tk, jax, jnp)
 
+    # HBM roofline models (v5e ~819 GB/s): 'stream' re-reads the 3 band
+    # arrays + v and writes u every apply (5 f32 arrays of d·n);
+    # 'bands_resident' assumes XLA keeps the bands in VMEM across the scan
+    # (only v in + u out cross HBM). Measured values between the two mean
+    # partial band residency — state the model instead of implying >100%.
+    d_, n_ = 8, 1 << 20
+    hbm = 819e9
+    stream = nnz / ((5 * d_ * n_ * 4) / hbm) / 1e9
+    resident = nnz / ((2 * d_ * n_ * 4) / hbm) / 1e9
+
     print(
         json.dumps(
             {
@@ -134,6 +144,11 @@ def main():
                     "cpu_numpy_gnnz_s": round(cpu_gnnz, 3),
                     "solver_iters_per_s_f64": round(iters_per_s, 2),
                     "spmv_config": "d=8 tridiag n=2^20 f32",
+                    "roofline_819GBps": {
+                        "stream_gnnz_s": round(stream, 1),
+                        "bands_resident_gnnz_s": round(resident, 1),
+                        "fraction_of_stream": round(gnnz / stream, 3),
+                    },
                 },
             }
         )

@@ -344,7 +344,8 @@ def solve_deflated(
       row_select=config.bh_row_select)
     sup_err = expsum_sup_error(coeffs.omega, coeffs.alpha, kappa)
 
-    kmax = config.kmax
+    # the deflated Krylov space lives in the U-complement: dimension ≤ n − m
+    kmax = min(config.kmax, op.n - m)
     if checkpoints is None:
         checkpoints, ck = [], 32
         while ck < kmax:
@@ -385,6 +386,8 @@ def solve_deflated(
     x = CPTensor(
         weights, _assemble(U, state.V, Yu, Yv, jnp.asarray(k_done, jnp.int32))
     )
+    del state  # release the (K, d, n) basis before the certificate's
+    # rank-(1+d·t) CP residual materializes (flagship HBM headroom)
     measured = None
     if certify:
         r = cp_residual(op, x, b)

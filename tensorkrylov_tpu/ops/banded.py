@@ -37,6 +37,8 @@ def spmv(op: KroneckerSumOperator, v: jax.Array) -> jax.Array:
 
     Returns: same shape as v.
     """
+    if op.halo is not None:
+        return _spmv_halo(op, v)
     bands = op.bands
     if v.ndim == 3:
         bands = bands[:, :, None, :]  # (d, nb, 1, n)
@@ -47,6 +49,32 @@ def spmv(op: KroneckerSumOperator, v: jax.Array) -> jax.Array:
     for t in terms[1:]:
         u = u + t
     return u
+
+
+def _spmv_halo(op: KroneckerSumOperator, v: jax.Array) -> jax.Array:
+    """Explicit shard_map + ppermute halo-exchange SpMV (op.halo is set).
+
+    The op carries its communication layout as static aux data, so every
+    caller — the Krylov steps, kron_apply_cp, the residual algebra — gets
+    the explicit-collective path without plumbing a mesh through each API.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.halo import spmv_halo_local
+
+    mesh, mode_ax, factor_ax = op.halo
+    mid = (None,) * (v.ndim - 2)
+    vspec = P(factor_ax, *mid, mode_ax)
+    bspec = P(factor_ax, None, mode_ax)
+    offsets = op.offsets
+
+    f = jax.shard_map(
+        lambda bands, vv: spmv_halo_local(bands, offsets, vv, mode_ax),
+        mesh=mesh,
+        in_specs=(bspec, vspec),
+        out_specs=vspec,
+    )
+    return f(op.bands, v)
 
 
 def spmv_dense_oracle(dense_factors, v):

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["cp_solve_sym", "cp_solve_nonsym", "expm_taylor_ss"]
+__all__ = ["cp_solve_sym", "cp_solve_nonsym", "cp_solve_nonsym_eig", "expm_taylor_ss"]
 
 
 def cp_solve_sym(
@@ -87,6 +87,51 @@ def expm_taylor_ss(A: jax.Array, order: int = 18, max_squarings: int = 32) -> ja
 
     out = lax.fori_loop(0, max_squarings, square_body, out)
     return out
+
+
+def cp_solve_nonsym_eig(
+    H: jax.Array,        # (d, K, K) Hessenberg factors (padded)
+    btil: jax.Array,     # (d, K) or (d, K, R)
+    k,
+    omega: jax.Array,
+    alpha: jax.Array,
+    t_mask: jax.Array,
+    lam_min: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Nonsymmetric projected solve via ONE complex eigendecomposition per
+    factor: y_j = S exp(−γ_j Λ) S⁻¹ b̃ — replaces the t-term expm chain
+    (t ≈ 200 Stenger terms at tol = 1e-9) with one O(K³) eig plus t diagonal
+    scalings: ~t× fewer matmuls per residual check, which is what makes the
+    full reference-scale nonsym reproduction (n = 200, d ≤ 100) tractable.
+
+    CPU-backend only (jax.linalg.eig has no TPU lowering) — selected by
+    SolverConfig.nonsym_solve_impl = 'auto' on CPU/host-projected paths; the
+    device in-jit path keeps the expm chain. Diagonalization accuracy rests
+    on the Arnoldi Hessenberg being non-defective (generic for the
+    convection–diffusion family; validated against the expm path in
+    tests/test_ops.py)."""
+    d, K, _ = H.shape
+    tmax = alpha.shape[0]
+    if btil.ndim == 2:
+        btil = btil[:, :, None]
+    R = btil.shape[2]
+    m = (jnp.arange(K) < k).astype(H.dtype)
+    Hm = H * m[None, :, None] * m[None, None, :]
+    # decoupled positive padding keeps the padded eigenvalues simple (the
+    # corner Rayleigh value, same trick as masked_eigh) — b̃ is zero there
+    idx = jnp.arange(K)
+    Hm = Hm.at[:, idx, idx].add((1.0 - m)[None, :] * H[:, 0, 0][:, None])
+    btil_m = btil * m[None, :, None]
+
+    w, S = jnp.linalg.eig(Hm)                       # complex (d, K), (d, K, K)
+    g = jnp.linalg.solve(S, btil_m.astype(S.dtype))  # (d, K, R)
+    gam = (alpha / lam_min)[None, None, :].astype(S.dtype)
+    expw = jnp.exp(-w[:, :, None] * gam)            # (d, K, tmax)
+    factors = jnp.einsum("dkj,djt,djr->dktr", S, expw, g).real.astype(H.dtype)
+    factors = factors * t_mask[None, None, :, None] * m[None, :, None, None]
+    factors = factors.reshape(d, K, tmax * R)
+    weights = jnp.repeat((omega / lam_min) * t_mask, R)
+    return weights, factors
 
 
 def cp_solve_nonsym(

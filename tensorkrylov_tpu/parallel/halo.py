@@ -50,7 +50,8 @@ def _exchange_halos(v: jax.Array, H: int, axis_name: str):
 
 def spmv_halo_local(bands: jax.Array, offsets: Tuple[int, ...], v: jax.Array, axis_name: str):
     """Per-shard body: batched DIA SpMV on the local slice with halo
-    exchange. bands (d, nb, n_local), v (d, n_local)."""
+    exchange. bands (d, nb, n_local), v (d, n_local) or (d, m, n_local)
+    (extra block/batch columns per factor, same contract as ops.banded.spmv)."""
     H = max((abs(o) for o in offsets), default=0)
     if H == 0:
         return bands[:, 0, :] * v if bands.shape[1] == 1 else _local_apply(bands, offsets, v)
@@ -61,7 +62,8 @@ def spmv_halo_local(bands: jax.Array, offsets: Tuple[int, ...], v: jax.Array, ax
     for b, off in enumerate(offsets):
         # global column index i+off ↦ vext position H + i + off
         sl = lax.slice_in_dim(vext, H + off, H + off + n_local, axis=-1)
-        term = bands[:, b, :] * sl
+        bb = bands[:, b, :] if v.ndim == 2 else bands[:, b, None, :]
+        term = bb * sl
         u = term if u is None else u + term
     return u
 

@@ -70,23 +70,31 @@ def solve_sharded(
     b,
     config: Optional[SolverConfig] = None,
     mesh: Optional[Mesh] = None,
+    comm: str = "gspmd",
 ) -> SolveResult:
     """Solve with the operator/RHS/bases sharded over the mesh.
 
     The Krylov basis V (d, K, n) inherits (factor, —, mode) sharding from the
     inputs via GSPMD propagation; SpMV shifts lower to collective-permutes
     and reductions to psums over 'mode'.
+
+    comm: 'gspmd' — XLA chooses the SpMV collectives from the shardings;
+          'ring'  — every SpMV in the solve runs the explicit shard_map +
+                    ppermute halo-exchange path (parallel/halo.py), the
+                    latency-hiding layout for multi-host mode sharding.
     """
+    import dataclasses
+
     from ..solver import solve  # local import to avoid cycle
 
+    if comm not in ("gspmd", "ring"):
+        raise ValueError(f"comm must be 'gspmd' or 'ring', got {comm!r}")
     if mesh is None:
         mesh = make_mesh()
     config = config or SolverConfig()
     if config.step_impl != "xla":
         # GSPMD shards the jnp step's shifts/reductions automatically; the
         # manual-DMA Pallas step is single-device — force the portable path
-        import dataclasses
-
         config = dataclasses.replace(config, step_impl="xla")
     if jax.process_count() > 1:
         # multi-process: every process holds the host copy; placement must
@@ -98,4 +106,8 @@ def solve_sharded(
     else:
         op = shard_operator(op, mesh)
         b = shard_rhs(jnp.asarray(b), mesh)
+    if comm == "ring":
+        op = dataclasses.replace(
+            op, halo=(mesh, "mode", _factor_spec(mesh, op.d))
+        )
     return solve(op, b, config)

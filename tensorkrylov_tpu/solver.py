@@ -31,7 +31,7 @@ from .ops.eigen import (
     masked_eigh_tridiag_mixed,
     sym_extremes_from_eigs,
 )
-from .ops.expsum import cp_solve_nonsym, cp_solve_sym
+from .ops.expsum import cp_solve_nonsym, cp_solve_nonsym_eig, cp_solve_sym
 from .ops.gram import residual_norm_sq
 from .ops.orth import KrylovState, _acc_dtype, arnoldi_step, init_state, lanczos_step
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
@@ -207,7 +207,10 @@ def projected_step(
         else:
             eps_target = config.tol * lmin
         coeffs = select_stenger(eps_target, tmax, pdt)
-        weights, Y = cp_solve_nonsym(
+        nonsym_solve = (
+            cp_solve_nonsym_eig if config.nonsym_solve_impl == "eig" else cp_solve_nonsym
+        )
+        weights, Y = nonsym_solve(
             H, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
         )
         kappa_eff = signorm / lmin
@@ -426,13 +429,30 @@ def _resolve_config(config: SolverConfig, op: KroneckerSumOperator, host_project
             else "dense"
         )
         config = dataclasses.replace(config, eigh_impl=impl)
-    if config.step_impl in ("auto", "fused"):
-        # 'auto' picks the fused kernel when eligible (measured faster than
-        # the XLA step on v5e — BASELINE.md "fused step" row); an explicit
-        # 'fused' request that is ineligible also resolves to 'xla' so the
-        # recorded config reflects what actually ran
+    if config.step_impl == "auto":
+        # measured on the v5e at the d=10, n=131072 flagship shape: XLA step
+        # 0.216 ms/step vs fused Pallas step 0.365 ms/step (BASELINE.md) —
+        # the step is dispatch/latency-bound at these sizes and XLA's fusion
+        # wins, so 'auto' = 'xla'. The fused kernel remains available by
+        # explicit request (and falls back when ineligible, recorded below).
+        config = dataclasses.replace(config, step_impl="xla")
+    elif config.step_impl == "fused":
+        # an ineligible explicit 'fused' resolves to 'xla' so the recorded
+        # config reflects what actually ran
         impl = "fused" if _fused_eligible(config, op) else "xla"
         config = dataclasses.replace(config, step_impl=impl)
+    if config.kmax > op.n:
+        # the factor Krylov spaces exhaust at dimension n; iterating past it
+        # appends zero columns whose degenerate projected spectra poison the
+        # λ_min estimate (NaNs on the nonsym path). Same clamp as block.py.
+        config = dataclasses.replace(config, kmax=op.n)
+    if config.nonsym_solve_impl == "auto":
+        # jax.linalg.eig lowers on CPU only; the host-projected path runs the
+        # projected stage on the CPU backend regardless of the device
+        use_eig = jax.default_backend() == "cpu" or host_projected
+        config = dataclasses.replace(
+            config, nonsym_solve_impl="eig" if use_eig else "expm"
+        )
     return config
 
 

@@ -46,7 +46,7 @@ def _pytree_dataclass(cls=None, *, static: Tuple[str, ...] = ()):
     return wrap(cls)
 
 
-@_pytree_dataclass(static=("offsets", "symmetric"))
+@_pytree_dataclass(static=("offsets", "symmetric", "halo"))
 class KroneckerSumOperator:
     """A = Σ_s I⊗…⊗A_s⊗…⊗I, stored as per-factor DIA bands.
 
@@ -61,11 +61,19 @@ class KroneckerSumOperator:
       symmetric: static bool — SPD factors (Lanczos path) vs general
         (Arnoldi path); the analogue of the reference's Sym/NonSymInstance
         trait (/root/reference/src/tensor_struct.jl:83-85).
+      halo: static SpMV communication override. None → portable jnp rolls
+        (GSPMD lowers them to collective-permutes under sharding).
+        (mesh, mode_axis, factor_axis_or_None) → every spmv() on this
+        operator runs the explicit shard_map + ppermute halo-exchange path
+        (parallel/halo.py) over that mesh — the latency-hiding layout for
+        multi-host mode sharding. Set via parallel.sharding.solve_sharded
+        (comm='ring').
     """
 
     bands: jax.Array
     offsets: Tuple[int, ...]
     symmetric: bool = True
+    halo: Any = None
 
     @property
     def d(self) -> int:
@@ -86,7 +94,9 @@ class KroneckerSumOperator:
         return self.bands.dtype
 
     def astype(self, dtype) -> "KroneckerSumOperator":
-        return KroneckerSumOperator(self.bands.astype(dtype), self.offsets, self.symmetric)
+        return KroneckerSumOperator(
+            self.bands.astype(dtype), self.offsets, self.symmetric, self.halo
+        )
 
 
 @_pytree_dataclass
@@ -170,8 +180,11 @@ class SolverConfig:
     #            reductions in 2 HBM passes. Applies only when
     #            orth='lanczos'/'lanczos_reorth_auto' with f32 compute
     #            (f32/bf16 basis) on unsharded single-RHS solves.
-    #  'auto'  — pick 'fused' when eligible on TPU, else 'xla'. solve()
-    #            resolves this; the RESOLVED value is recorded in
+    #  'auto'  — currently 'xla': measured on the v5e flagship shape
+    #            (d=10, n=131072) the XLA step runs 0.216 ms/step vs the
+    #            fused kernel's 0.365 — the step is dispatch-bound there
+    #            and XLA's fusion wins (BASELINE.md). solve() resolves this;
+    #            the RESOLVED value is recorded in
     #            SolveResult.config.step_impl (no silent-fallback guessing).
     step_impl: str = "auto"
     # trigger threshold for orth='lanczos_reorth_auto': probe |⟨v_k, v_0⟩|
@@ -186,6 +199,12 @@ class SolverConfig:
     #  'tridiag_mixed' — f32 seed + f64 Sturm refinement + inverse iteration
     #                    (Lanczos/symmetric path only)
     eigh_impl: str = "auto"
+    # Nonsymmetric projected exp-sum evaluation:
+    #  'auto' — 'eig' on CPU backends / host-projected runs, 'expm' on device
+    #  'expm' — t LU-free Taylor-SS matrix exponentials (device-safe)
+    #  'eig'  — one complex eigendecomposition + t diagonal scalings
+    #           (~t× fewer matmuls; jax.linalg.eig is CPU-only)
+    nonsym_solve_impl: str = "auto"
     # per-check progress via jax.debug.print from inside the jitted loop —
     # the analogue of the reference's DebugMode
     # (/root/reference/src/tensor_krylov_method.jl:6-8)
@@ -220,6 +239,7 @@ class SolverConfig:
         assert self.bh_row_select in ("ceil", "reference")
         assert self.eigh_impl in ("auto", "dense", "tridiag_mixed")
         assert self.step_impl in ("auto", "xla", "fused")
+        assert self.nonsym_solve_impl in ("auto", "expm", "eig")
 
 
 @_pytree_dataclass(static=("config",))

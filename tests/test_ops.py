@@ -256,3 +256,24 @@ def test_laplace_eigenvectors_analytic():
     v3 = np.asarray(laplace_eigenvector(n, 3))
     resid = A @ v3 - (np.sort(np.diag(D))[2]) * v3
     assert np.linalg.norm(resid) < 1e-6
+
+
+def test_nonsym_eig_matches_expm_projected_solve():
+    """cp_solve_nonsym_eig (one complex eig + diagonal scalings) must match
+    the expm-chain path on the oracle problem to near-f64."""
+    import tensorkrylov_tpu as tk
+    from tensorkrylov_tpu.types import SolverConfig
+
+    op = tk.conv_diff(3, 24)
+    b = tk.random_rhs(3, 24, seed=5)
+    outs = {}
+    for impl in ("expm", "eig"):
+        cfg = SolverConfig(kmax=20, tol=1e-7, orth="arnoldi", tmax=121,
+                           nonsym_solve_impl=impl)
+        r = tk.solve(op, b, cfg)
+        ni = int(r.niterations)
+        outs[impl] = (ni, float(np.asarray(r.relative_residual)[ni]),
+                      np.asarray(r.x.factors))
+    assert outs["expm"][0] == outs["eig"][0]
+    np.testing.assert_allclose(outs["expm"][1], outs["eig"][1], rtol=1e-5)
+    np.testing.assert_allclose(outs["expm"][2], outs["eig"][2], atol=1e-9, rtol=1e-5)

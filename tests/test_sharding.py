@@ -72,3 +72,41 @@ def test_halo_spmv_matches(mesh8):
     fn = make_halo_spmv(mesh, op.offsets)
     out = np.asarray(fn(op.bands, v))
     np.testing.assert_allclose(out, ref, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_ring_solve_matches_gspmd(mesh8):
+    """comm='ring' routes EVERY SpMV in the solve through the explicit
+    shard_map + ppermute halo path (op.halo static aux) — must agree with
+    the GSPMD solve and with the dense oracle."""
+    op = tk.laplace(4, 32)
+    b = tk.random_rhs(4, 32, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = SolverConfig(kmax=32, tol=1e-8)
+    r_g = solve_sharded(op, b, cfg, mesh8, comm="gspmd")
+    r_r = solve_sharded(op, b, cfg, mesh8, comm="ring")
+    assert int(r_r.status) == int(r_g.status)
+    assert int(r_r.niterations) == int(r_g.niterations)
+    ni = int(r_g.niterations)
+    np.testing.assert_allclose(
+        np.asarray(r_r.relative_residual[: ni + 1]),
+        np.asarray(r_g.relative_residual[: ni + 1]),
+        rtol=1e-8, atol=1e-12,
+    )
+    assert tk.kron_residual_dense(op, r_r.x, np.asarray(b)) < 1e-8
+
+
+def test_halo_spmv_batched_columns(mesh8):
+    """(d, m, n) batched-column SpMV through the halo path (the shape
+    kron_apply_cp and the block solver use)."""
+    import dataclasses
+
+    op = tk.laplace(2, 64)
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal((2, 5, 64)))
+    ref = np.asarray(spmv(op, v))
+    op_h = dataclasses.replace(
+        shard_operator(op, mesh8), halo=(mesh8, "mode", None)
+    )
+    out = np.asarray(spmv(op_h, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-13)
