@@ -36,6 +36,8 @@ def main():
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-certify", action="store_true")
+    p.add_argument("--basis-cache", default=None,
+                   help="npz path to save/load the deflation basis (default: /tmp, keyed by n/m/sigma)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -59,7 +61,14 @@ def main():
     b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
 
     t_setup0 = time.perf_counter()
-    basis = tk.deflation_basis(op, args.m)
+    cache = args.basis_cache or f"/tmp/tk_deflation_n{args.n}_m{args.m}_s{sigma:.3e}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        basis = tk.DeflationBasis(jnp.asarray(z["U"]), jnp.asarray(z["lam"]))
+        print(f"deflation basis loaded from {cache}", flush=True)
+    else:
+        basis = tk.deflation_basis(op, args.m)
+        np.savez(cache, U=np.asarray(basis.U), lam=np.asarray(basis.lam))
     jax.block_until_ready(basis.U)
     t_setup = time.perf_counter() - t_setup0
     print(f"deflation setup (m={args.m}): {t_setup:.1f}s", flush=True)

@@ -49,7 +49,11 @@ def run_reproduction(
             )
         else:
             op = conv_diff(d, n)
-            cfg = SolverConfig(kmax=nmax, tol=tol, orth="arnoldi", tmax=201)
+            # identical factors + replicated RHS (the reference's setup) →
+            # the projected eig/expm chain runs once and broadcasts
+            cfg = SolverConfig(
+                kmax=nmax, tol=tol, orth="arnoldi", tmax=201, identical_factors=True
+            )
         b = random_rhs(d, n, seed=seed)
         b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
         t0 = time.perf_counter()
@@ -70,14 +74,16 @@ def run_reproduction(
         }
         if verbose:
             print(f"--- d={d} n={n} {'SPD' if symmetric else 'nonsym'} "
-                  f"({wall:.1f}s, {ni/wall:.1f} it/s)")
-            print(summarize(res, every=max(ni // 8, 1)))
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        tag = "laplace" if symmetric else "convdiff"
-        path = os.path.join(out_dir, f"reproduction_{tag}_n{n}.json")
-        with open(path, "w") as f:
-            json.dump(results, f)
+                  f"({wall:.1f}s, {ni/wall:.1f} it/s)", flush=True)
+            print(summarize(res, every=max(ni // 8, 1)), flush=True)
+        if out_dir:
+            # incremental save: a long sweep interrupted mid-way keeps the
+            # finished dimensions
+            os.makedirs(out_dir, exist_ok=True)
+            tag = "laplace" if symmetric else "convdiff"
+            path = os.path.join(out_dir, f"reproduction_{tag}_n{n}.json")
+            with open(path, "w") as f:
+                json.dump(results, f)
         if verbose:
             print("saved", path)
     return results

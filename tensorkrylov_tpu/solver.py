@@ -210,9 +210,15 @@ def projected_step(
         nonsym_solve = (
             cp_solve_nonsym_eig if config.nonsym_solve_impl == "eig" else cp_solve_nonsym
         )
-        weights, Y = nonsym_solve(
-            H, btil, k, coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin
+        # identical factors + the reference's replicated RHS make every
+        # factor's (H_s, b̃_s) equal — run the eig/expm chain once and
+        # broadcast (the reference's single-expm assumption,
+        # /root/reference/src/utils.jl:509-511, generalized per config flag)
+        weights, Y1 = nonsym_solve(
+            H[:eig_d], btil[:eig_d], k,
+            coeffs.omega, coeffs.alpha, coeffs.t_mask, lmin,
         )
+        Y = jnp.broadcast_to(Y1, (d,) + Y1.shape[1:]) if eig_d != d else Y1
         kappa_eff = signorm / lmin
 
     terms = residual_norm_sq(H, Y, btil, k, weights, subdiag)

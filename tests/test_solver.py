@@ -135,6 +135,17 @@ def test_multi_rhs_rank2():
     rnorm = np.linalg.norm(kron_matvec_dense(op, xfull) - bfull) / np.linalg.norm(bfull)
     assert rnorm < 1e-7, rnorm
 
+    # MultiRhsResult aggregate view: all lanes CONVERGED → aggregate
+    # CONVERGED; still unpacks like the old (x, results) tuple
+    mr = solve_multi_rhs(op, B, SolverConfig(kmax=20, tol=1e-8))
+    assert int(mr.status) == int(Status.CONVERGED)
+    assert bool(mr.converged)
+    x2, res2 = mr
+    assert res2.status.shape == (R,)
+    # a lane that cannot converge (kmax too small) degrades the aggregate
+    mr_bad = solve_multi_rhs(op, B, SolverConfig(kmax=4, tol=1e-12))
+    assert int(mr_bad.status) == int(Status.MAXITER)
+
 
 def test_resumable_matches_and_resumes(tmp_path):
     """Segmented+checkpointed solve must match the single-shot solve exactly,
