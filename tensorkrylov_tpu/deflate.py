@@ -56,7 +56,7 @@ from .coeffs.tables import BHTables, load_tables, select_bh
 from .ops.eigen import masked_eigh
 from .ops.expsum import cp_solve_sym
 from .ops.gram import residual_norm_sq
-from .ops.orth import KrylovState, init_state, lanczos_step
+from .ops.orth import deflation_project
 from .types import CPTensor, KroneckerSumOperator, SolverConfig, Status
 from .utils.cp import cp_norm_accurate
 from .refine import cp_residual
@@ -192,13 +192,101 @@ def _gershgorin_max(op: KroneckerSumOperator) -> float:
     return float(sum(per_factor))
 
 
-@functools.partial(jax.jit, static_argnames=("reorth", "proj_dtype"), donate_argnums=(1,))
-def _advance(op, state: KrylovState, b_perp, U, k0, k1, *, reorth, proj_dtype):
-    def body(k, st):
-        st2, _ = lanczos_step(
-            op, st, b_perp, k, reorth=reorth, proj_dtype=proj_dtype, deflate_U=U
-        )
-        return st2
+class _DeflState(NamedTuple):
+    """Deflated-Lanczos state in the (d, K, n) layout.
+
+    The generic KrylovState stores V as (K, d, n) — optimal for the f32
+    small-step writes, but on TPU the d-sized sublane dimension pads to a
+    multiple of 8 (d=10 → 16: a 1.6× memory expansion that OOMs the f64
+    flagship, plus f64-emulation temp copies). Here V is (d, K, n)
+    (K pads by ≤ 7 rows) and is WRITE-ONLY in the hot loop: the three-term
+    recurrence carries v_{k-1}, v_{k-2} explicitly, and T is stored as
+    diag/offdiag vectors instead of a dense (d, K, K) matrix."""
+
+    V: jax.Array     # (d, K, n)
+    dg: jax.Array    # (d, K) T diagonal: dg[:, j] = α for column j
+    od: jax.Array    # (d, K) T offdiag: od[:, j] couples columns j-1, j
+    btil: jax.Array  # (d, K) ⟨v_j, b⊥⟩ (≈ β₀ e₀; the rest is drift telemetry)
+    vp: jax.Array    # (d, n) v_{k-1}
+    vpp: jax.Array   # (d, n) v_{k-2}
+    beta: jax.Array  # (d,) last offdiagonal
+
+
+def _init_defl_state(b_perp, K: int, pdt) -> Tuple[_DeflState, jax.Array]:
+    d, n = b_perp.shape
+    b_norms = jnp.linalg.norm(b_perp.astype(pdt), axis=1)
+    v0 = (b_perp.astype(pdt) / b_norms[:, None]).astype(pdt)
+    V = jnp.zeros((d, K, n), pdt)
+    V = lax.dynamic_update_slice(V, v0[:, None, :], (0, 0, 0))
+    # distinct buffers (dg/od/btil feed a donated argument — aliased zeros
+    # would be donated twice)
+    dg = jnp.zeros((d, K), pdt)
+    od = jnp.zeros((d, K), pdt)
+    btil = jnp.zeros((d, K), pdt).at[:, 0].set(b_norms)
+    return (
+        _DeflState(V, dg, od, btil, v0, jnp.zeros_like(v0), jnp.zeros((d,), pdt)),
+        b_norms,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("reorth", "reorth_tol"), donate_argnums=(1,))
+def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth, reorth_tol: float = 0.0):
+    """Run Lanczos steps k0..k1-1 (step k writes basis column k) with
+    per-step deflation projection; f64 throughout (proj dtype = V dtype)."""
+    from .ops.banded import spmv
+
+    pdt = state.V.dtype
+    d, K, n = state.V.shape
+    thresh = reorth_tol if reorth_tol > 0.0 else float(np.sqrt(np.finfo(np.float64).eps))
+
+    def body(k, st: _DeflState) -> _DeflState:
+        u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
+        alpha = jnp.einsum("dn,dn->d", u, st.vp, preferred_element_type=pdt)
+        u = u - alpha[:, None] * st.vp
+        u = deflation_project(u, U, pdt)
+
+        def sweep(u):
+            mask = (jnp.arange(K)[None, :] < k).astype(pdt)
+            w = jnp.einsum("dkn,dn->dk", st.V, u, preferred_element_type=pdt) * mask
+            return u - jnp.einsum("dkn,dk->dn", st.V, w, preferred_element_type=pdt)
+
+        if reorth == "always":
+            u = sweep(u)
+        beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt)
+        ub = jnp.einsum("dn,dn->d", u, b_perp.astype(pdt), preferred_element_type=pdt)
+        if reorth == "auto":
+            # v₀-drift probe |⟨v_k, v₀⟩| = |⟨u, b⊥⟩|/(β‖b⊥_s‖)
+            bn = st.btil[:, 0]
+            probe = jnp.max(
+                jnp.abs(ub) / (bn * jnp.sqrt(jnp.maximum(beta_sq, 1e-300)) + 1e-300)
+            )
+
+            def do_sweep(u):
+                u2 = sweep(u)
+                return (
+                    u2,
+                    jnp.einsum("dn,dn->d", u2, u2, preferred_element_type=pdt),
+                    jnp.einsum("dn,dn->d", u2, b_perp.astype(pdt), preferred_element_type=pdt),
+                )
+
+            u, beta_sq, ub = lax.cond(
+                probe > thresh, do_sweep, lambda u: (u, beta_sq, ub), u
+            )
+
+        beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
+        # exhaustion/breakdown: an (near-)invariant deflated subspace makes
+        # β ≈ 0 — freeze with an inert zero column (A·0 = 0, ⟨·,0⟩ = 0)
+        lucky = beta_new < 256.0 * jnp.finfo(pdt).eps * (jnp.abs(alpha) + st.beta + 1e-300)
+        beta_new = jnp.where(lucky, 0.0, beta_new)
+        safe = jnp.where(beta_new > 0, beta_new, 1.0)
+        v_new = jnp.where(lucky[:, None], 0.0, u / safe[:, None])
+
+        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
+        V = lax.dynamic_update_slice(st.V, v_new[:, None, :], (zero, k, zero))
+        dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
+        od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
+        btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
+        return _DeflState(V, dg, od, btil, v_new, st.vp, beta_new)
 
     return lax.fori_loop(k0, k1, body, state)
 
@@ -223,7 +311,7 @@ def expsum_sup_error(omega, alpha, kappa: float, n_grid: int = 200_000) -> float
 
 @jax.jit
 def _evaluate(
-    state: KrylovState,
+    dg, od, btil, beta,  # (d, K) T diag/offdiag, compressed RHS, (d,) β_k
     k,
     lam,            # (d, m) deflated eigenvalues
     c,              # (d, m) U-coefficients of b
@@ -238,10 +326,16 @@ def _evaluate(
     Lemma-3.4 residual (Σ_s β_k²‖y_𝔏‖² — a sum of positives), used by the
     rigorous certificate; rel_est additionally includes the compressed part,
     which floors at ~√eps·(term mass) (DESIGN.md §6)."""
-    V, H, btil, beta = state
-    K = H.shape[1]
-    d, m = lam.shape
-    pdt = H.dtype
+    d, K = dg.shape
+    m = lam.shape[1]
+    pdt = dg.dtype
+
+    # dense padded T from the diag/offdiag vectors (k-sized work only)
+    idx = jnp.arange(K)
+    H = jnp.zeros((d, K, K), pdt)
+    H = H.at[:, idx, idx].set(dg)
+    H = H.at[:, idx[1:], idx[1:] - 1].set(od[:, 1:])
+    H = H.at[:, idx[1:] - 1, idx[1:]].set(od[:, 1:])
 
     # V-block: exp(−γ_j T_s) b̃ via eigh of the masked tridiagonal minor
     w, Q = masked_eigh(H, k)
@@ -272,11 +366,11 @@ def _evaluate(
 
 @functools.partial(jax.jit, static_argnames=())
 def _assemble(U, V, Yu, Yv, k):
-    """Real-space CP factors: U·Yu + V·Yv (V columns masked to < k)."""
-    K = V.shape[0]
+    """Real-space CP factors: U·Yu + V·Yv (V (d, K, n), columns < k)."""
+    K = V.shape[1]
     mask = (jnp.arange(K) < k).astype(Yv.dtype)
     Yvm = Yv * mask[None, :, None]
-    xv = jnp.einsum("kdn,dkt->dnt", V.astype(Yv.dtype), Yvm)
+    xv = jnp.einsum("dkn,dkt->dnt", V.astype(Yv.dtype), Yvm)
     if U.shape[0] == 1:
         xu = jnp.einsum("nm,dmt->dnt", U[0].astype(Yu.dtype), Yu)
     else:
@@ -354,11 +448,12 @@ def solve_deflated(
         checkpoints.append(kmax)
     checkpoints = sorted({min(int(c_), kmax) for c_ in checkpoints})
 
-    from .ops.orth import _acc_dtype
-
-    op_c = op.astype(_acc_dtype(config.basis_dtype, pdt))
-    b_perp = b_perp.astype(_acc_dtype(config.basis_dtype, pdt))
-    state, _ = init_state(op_c, b_perp, kmax, pdt, config.basis_dtype)
+    # the deflated driver runs fully in the projected dtype (f64): the
+    # certificate's orthonormality slack is eps(basis); narrower storage
+    # cannot certify 1e-8-class targets (docs/northstar.md §4)
+    op_c = op.astype(pdt)
+    b_perp = b_perp.astype(pdt)
+    state, _ = _init_defl_state(b_perp, kmax + 1, pdt)
 
     rel_hist: List[float] = []
     bound_hist: List[float] = []
@@ -368,11 +463,13 @@ def solve_deflated(
     for ck in checkpoints:
         state = _advance(
             op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
-            jnp.asarray(ck + 1, jnp.int32), reorth=reorth, proj_dtype=pdt,
+            jnp.asarray(ck + 1, jnp.int32), reorth=reorth,
+            reorth_tol=config.reorth_tol,
         )
         k_prev = ck + 1
         rel, brs, Yu, Yv, weights = _evaluate(
-            state, jnp.asarray(ck, jnp.int32), basis.lam, c,
+            state.dg, state.od, state.btil, state.beta,
+            jnp.asarray(ck, jnp.int32), basis.lam, c,
             jnp.asarray(b_norm, pdt), jnp.asarray(lam_min, pdt),
             coeffs.omega, coeffs.alpha, coeffs.t_mask,
         )
