@@ -93,7 +93,7 @@ def parameterized_experiment(
         }
 
         op2 = parameterized_nonsym(d, n, beta)
-        cfg2 = SolverConfig(kmax=nmax or n, tol=tol, orth="arnoldi", tmax=201)
+        cfg2 = SolverConfig(kmax=nmax or n, tol=tol, orth="arnoldi", tmax=601, identical_factors=True)
         t0 = time.perf_counter()
         res2 = solve(op2, b, cfg2)
         tr2 = trim(res2)
