@@ -138,7 +138,10 @@ def deflation_basis(
         pairs = [lowest_m(s) for s in range(d)]
         lam = np.stack([p[0] for p in pairs])
         U = np.stack([p[1] for p in pairs])
-    return DeflationBasis(jnp.asarray(U, dtype), jnp.asarray(lam, jnp.float64))
+    # host-resident (numpy) on purpose: solve_deflated controls WHEN U goes
+    # to the device (after the big basis allocation — HBM fragmentation)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    return DeflationBasis(np.asarray(U, np_dtype), np.asarray(lam, np.float64))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -413,25 +416,18 @@ def solve_deflated(
         config.orth
     ]
 
-    # split b: exact U-part coefficients + deflated remainder
-    U = basis.U
-    if U.shape[0] == 1:
-        c = jnp.einsum("nm,dn->dm", U[0].astype(pdt), b.astype(pdt))
-        b_perp = b.astype(pdt) - jnp.einsum("nm,dm->dn", U[0].astype(pdt), c)
-    else:
-        c = jnp.einsum("dnm,dn->dm", U.astype(pdt), b.astype(pdt))
-        b_perp = b.astype(pdt) - jnp.einsum("dnm,dm->dn", U.astype(pdt), c)
-    b_norm = float(np.prod(np.linalg.norm(np.asarray(b, np.float64), axis=1)))
-
     lam_np = np.asarray(basis.lam, np.float64)
     lam_min = float(lam_np[:, 0].sum())
     lam_max = _gershgorin_max(op)
 
     # the spectral interval is FIXED for the whole solve (exact λ_min from
     # the deflated pairs, Gershgorin λ_max) → select the exp-sum
-    # coefficients once, and price the analytic sup bound once (f128 host)
+    # coefficients once, and price the analytic sup bound once (f128 host).
+    # Selection targets tol/2 so the sup component leaves room for the
+    # measured boundary part in the certificate tol = sup + boundary.
     kappa = lam_max / lam_min
-    coeff_tol = config.tol / kappa if config.coeff_tol_scale == "kappa" else config.tol
+    half_tol = 0.5 * config.tol
+    coeff_tol = half_tol / kappa if config.coeff_tol_scale == "kappa" else half_tol
     coeffs = jax.jit(
         select_bh, static_argnames=("tmax", "row_select")
     )(jnp.asarray(kappa, pdt), coeff_tol, tables, tmax=config.tmax,
@@ -450,10 +446,28 @@ def solve_deflated(
 
     # the deflated driver runs fully in the projected dtype (f64): the
     # certificate's orthonormality slack is eps(basis); narrower storage
-    # cannot certify 1e-8-class targets (docs/northstar.md §4)
+    # cannot certify 1e-8-class targets (docs/northstar.md §4).
+    # Split b on HOST (numpy — avoids device temporaries before the big
+    # state allocation) and allocate the (d, K, n) basis BEFORE anything
+    # else device-side: the TPU allocator needs a CONTIGUOUS HBM block for
+    # it, and f64-emulation temporaries fragment the arena quickly.
+    U_np = np.asarray(basis.U, np.float64)
+    b_np = np.asarray(b, np.float64)
+    if U_np.shape[0] == 1:
+        c_np = np.einsum("nm,dn->dm", U_np[0], b_np)
+        b_perp_np = b_np - np.einsum("nm,dm->dn", U_np[0], c_np)
+    else:
+        c_np = np.einsum("dnm,dn->dm", U_np, b_np)
+        b_perp_np = b_np - np.einsum("dnm,dm->dn", U_np, c_np)
+    b_norm = float(np.prod(np.linalg.norm(b_np, axis=1)))
+
+    state, _ = _init_defl_state(jnp.asarray(b_perp_np, pdt), kmax + 1, pdt)
     op_c = op.astype(pdt)
-    b_perp = b_perp.astype(pdt)
-    state, _ = _init_defl_state(b_perp, kmax + 1, pdt)
+    b_perp = jnp.asarray(b_perp_np, pdt)
+    # one explicit transfer (jitted calls would re-upload a numpy U per call)
+    U = jnp.asarray(np.asarray(basis.U), pdt)
+    c = jnp.asarray(c_np, pdt)
+    del b_perp_np, c_np, U_np, b_np
 
     rel_hist: List[float] = []
     bound_hist: List[float] = []

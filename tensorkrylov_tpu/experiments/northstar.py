@@ -64,12 +64,12 @@ def main():
     cache = args.basis_cache or f"/tmp/tk_deflation_n{args.n}_m{args.m}_s{sigma:.3e}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
-        basis = tk.DeflationBasis(jnp.asarray(z["U"]), jnp.asarray(z["lam"]))
+        # host-resident: solve_deflated controls when U reaches the device
+        basis = tk.DeflationBasis(z["U"], z["lam"])
         print(f"deflation basis loaded from {cache}", flush=True)
     else:
         basis = tk.deflation_basis(op, args.m)
         np.savez(cache, U=np.asarray(basis.U), lam=np.asarray(basis.lam))
-    jax.block_until_ready(basis.U)
     t_setup = time.perf_counter() - t_setup0
     print(f"deflation setup (m={args.m}): {t_setup:.1f}s", flush=True)
 
