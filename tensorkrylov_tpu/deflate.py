@@ -172,6 +172,9 @@ class DeflatedResult:
     expsum_rank: int
     lambda_min: float                 # exact (deflated) λ_min of A
     lambda_max: float                 # Gershgorin upper bound on λ_max of A
+    # measured orthonormality drift of the basis: max_k |⟨v_k, v₀⟩| (the
+    # free b̃ probe) — quantifies the certificate's basis slack
+    orthogonality_drift: float = 0.0
 
     @property
     def converged(self):
@@ -294,6 +297,99 @@ def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth, reorth_tol: fl
     return lax.fori_loop(k0, k1, body, state)
 
 
+class _LightState(NamedTuple):
+    """Basis-free deflated-Lanczos state (storage='twopass'): the recurrence
+    carries only the two live vectors — no (d, K, n) basis exists on device,
+    which sidesteps the TPU AOT planner's multiplied accounting of big f64
+    loop carries entirely and removes every memory ceiling on kmax.
+    Auto-reorth is unavailable (no prefix to sweep); the measured v₀-drift
+    probe (btil) quantifies the orthogonality slack instead."""
+
+    dg: jax.Array    # (d, K)
+    od: jax.Array    # (d, K)
+    btil: jax.Array  # (d, K)
+    vp: jax.Array    # (d, n)
+    vpp: jax.Array   # (d, n)
+    beta: jax.Array  # (d,)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _advance_light(op, state: _LightState, b_perp, U, k0, k1):
+    from .ops.banded import spmv
+
+    pdt = state.vp.dtype
+
+    def body(k, st: _LightState) -> _LightState:
+        u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
+        alpha = jnp.einsum("dn,dn->d", u, st.vp, preferred_element_type=pdt)
+        u = u - alpha[:, None] * st.vp
+        u = deflation_project(u, U, pdt)
+        beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt)
+        ub = jnp.einsum("dn,dn->d", u, b_perp, preferred_element_type=pdt)
+        beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
+        lucky = beta_new < 256.0 * jnp.finfo(pdt).eps * (jnp.abs(alpha) + st.beta + 1e-300)
+        beta_new = jnp.where(lucky, 0.0, beta_new)
+        safe = jnp.where(beta_new > 0, beta_new, 1.0)
+        v_new = jnp.where(lucky[:, None], 0.0, u / safe[:, None])
+        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
+        dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
+        od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
+        btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
+        return _LightState(dg, od, btil, v_new, st.vp, beta_new)
+
+    return lax.fori_loop(k0, k1, body, state)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _pass2_accumulate(op, b_perp, U, od, Yv, k_done):
+    """Second pass: rerun the recurrence (deterministic — same jitted ops in
+    the same order) and accumulate the solution's V-part on the fly:
+    X[s, :, j] = Σ_k v_k[s] · Yv[s, k, j]. Carry = two vectors + the (d, n,
+    t) accumulator; α/β need not be recomputed from dots — they are replayed
+    from the recorded tridiagonal, which also keeps the replayed v_k exactly
+    consistent with the T the projected solve used.
+
+    Design lineage: twopass.py's basis-free storage (beyond the reference),
+    specialized to the deflated recurrence."""
+    from .ops.banded import spmv
+
+    pdt = b_perp.dtype
+    d, n = b_perp.shape
+    K = od.shape[1]
+    t = Yv.shape[2]
+    b_norms = jnp.linalg.norm(b_perp, axis=1)
+    v0 = b_perp / jnp.where(b_norms > 0, b_norms, 1.0)[:, None]
+
+    # dg is replayed implicitly: u − α v_p − β v_pp with α from the recorded
+    # diagonal would need dg too; instead recompute α by the same dot the
+    # first pass used (identical op sequence ⇒ identical rounding), and take
+    # β (the normalizer) from the recorded od — β is the one value where
+    # replay divergence would compound.
+    X0 = jnp.zeros((d, n, t), pdt)
+    Yv0 = Yv[:, 0, :]                                       # (d, t)
+    X0 = X0 + v0[:, :, None] * Yv0[:, None, :]
+
+    def body(k, carry):
+        X, vp, vpp, beta = carry
+        u = spmv(op, vp) - beta[:, None] * vpp
+        alpha = jnp.einsum("dn,dn->d", u, vp, preferred_element_type=pdt)
+        u = u - alpha[:, None] * vp
+        u = deflation_project(u, U, pdt)
+        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
+        beta_new = lax.dynamic_slice(od, (zero, k), (d, 1))[:, 0]
+        safe = jnp.where(beta_new > 0, beta_new, 1.0)
+        v_new = jnp.where(beta_new[:, None] > 0, u / safe[:, None], 0.0)
+        yk = lax.dynamic_slice(Yv, (zero, k, zero), (d, 1, t))[:, 0, :]
+        X = X + v_new[:, :, None] * yk[:, None, :]
+        return (X, v_new, vp, beta_new)
+
+    X, _, _, _ = lax.fori_loop(
+        jnp.asarray(1, jnp.int32), k_done + 1, body,
+        (X0, v0, jnp.zeros_like(v0), jnp.zeros((d,), pdt)),
+    )
+    return X
+
+
 def expsum_sup_error(omega, alpha, kappa: float, n_grid: int = 200_000) -> float:
     """sup_{x ∈ [1, κ]} |1 − x·Σ_j ω_j e^{−α_j x}| — the analytic relative-
     residual bound of the exponential-sum inverse, evaluated on host in
@@ -391,6 +487,7 @@ def solve_deflated(
     tables: Optional[BHTables] = None,
     checkpoints: Optional[Sequence[int]] = None,
     certify: bool = True,
+    storage: str = "auto",
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -399,6 +496,13 @@ def solve_deflated(
 
     `basis`: pass a precomputed DeflationBasis to amortize the setup across
     solves (m is then ignored).
+
+    storage: 'full' keeps the (d, K, n) basis on device (enables auto-
+    reorth; one pass). 'twopass' never materializes the basis — the
+    recurrence is rerun once after convergence to accumulate the solution
+    (O(d·n·t) memory, no kmax ceiling; the mode the TPU AOT compiler's
+    loop-carry accounting requires at flagship sizes). 'auto' → 'twopass'
+    on TPU, 'full' elsewhere.
     """
     config = config or SolverConfig()
     b = jnp.asarray(b)
@@ -461,12 +565,33 @@ def solve_deflated(
         b_perp_np = b_np - np.einsum("dnm,dm->dn", U_np, c_np)
     b_norm = float(np.prod(np.linalg.norm(b_np, axis=1)))
 
-    state, _ = _init_defl_state(jnp.asarray(b_perp_np, pdt), kmax + 1, pdt)
+    if storage == "auto":
+        storage = "twopass" if jax.default_backend() == "tpu" else "full"
+    if storage not in ("full", "twopass"):
+        raise ValueError(f"storage must be 'auto'|'full'|'twopass', got {storage!r}")
+    if storage == "twopass" and reorth:
+        # no basis to sweep against; drift is measured (btil probe) instead
+        reorth = False
+
+    if storage == "full":
+        state, _ = _init_defl_state(jnp.asarray(b_perp_np, pdt), kmax + 1, pdt)
     op_c = op.astype(pdt)
     b_perp = jnp.asarray(b_perp_np, pdt)
     # one explicit transfer (jitted calls would re-upload a numpy U per call)
     U = jnp.asarray(np.asarray(basis.U), pdt)
     c = jnp.asarray(c_np, pdt)
+    if storage == "twopass":
+        b_norms_d = jnp.linalg.norm(b_perp, axis=1)
+        v0 = b_perp / jnp.where(b_norms_d > 0, b_norms_d, 1.0)[:, None]
+        d_ = op.d
+        state = _LightState(
+            jnp.zeros((d_, kmax + 1), pdt),
+            jnp.zeros((d_, kmax + 1), pdt),
+            jnp.zeros((d_, kmax + 1), pdt).at[:, 0].set(b_norms_d),
+            v0,
+            jnp.zeros_like(v0),
+            jnp.zeros((d_,), pdt),
+        )
     del b_perp_np, c_np, U_np, b_np
 
     rel_hist: List[float] = []
@@ -475,11 +600,17 @@ def solve_deflated(
     k_prev, k_done = 1, 0
     Yu = Yv = weights = None
     for ck in checkpoints:
-        state = _advance(
-            op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
-            jnp.asarray(ck + 1, jnp.int32), reorth=reorth,
-            reorth_tol=config.reorth_tol,
-        )
+        if storage == "full":
+            state = _advance(
+                op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
+                jnp.asarray(ck + 1, jnp.int32), reorth=reorth,
+                reorth_tol=config.reorth_tol,
+            )
+        else:
+            state = _advance_light(
+                op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
+                jnp.asarray(ck + 1, jnp.int32),
+            )
         k_prev = ck + 1
         rel, brs, Yu, Yv, weights = _evaluate(
             state.dg, state.od, state.btil, state.beta,
@@ -494,8 +625,25 @@ def solve_deflated(
             status = int(Status.CONVERGED)
             break
 
-    x = CPTensor(
-        weights, _assemble(U, state.V, Yu, Yv, jnp.asarray(k_done, jnp.int32))
+    if storage == "full":
+        xf = _assemble(U, state.V, Yu, Yv, jnp.asarray(k_done, jnp.int32))
+    else:
+        K_ = state.od.shape[1]
+        mask = (jnp.arange(K_)[None, :, None] < k_done).astype(Yv.dtype)
+        X = _pass2_accumulate(
+            op_c, b_perp, U, state.od, Yv * mask, jnp.asarray(k_done - 1, jnp.int32)
+        )
+        if U.shape[0] == 1:
+            xu = jnp.einsum("nm,dmt->dnt", U[0].astype(Yu.dtype), Yu)
+        else:
+            xu = jnp.einsum("dnm,dmt->dnt", U.astype(Yu.dtype), Yu)
+        xf = xu + X
+    x = CPTensor(weights, xf)
+    btil_np = np.asarray(state.btil)
+    kk = np.arange(btil_np.shape[1])
+    live = (kk >= 1) & (kk <= k_done)
+    drift = float(
+        np.max(np.abs(btil_np[:, live]) / (btil_np[:, :1] + 1e-300))
     )
     del state  # release the (K, d, n) basis before the certificate's
     # rank-(1+d·t) CP residual materializes (flagship HBM headroom)
@@ -516,4 +664,5 @@ def solve_deflated(
         expsum_rank=int(coeffs.rank),
         lambda_min=lam_min,
         lambda_max=lam_max,
+        orthogonality_drift=drift,
     )

@@ -34,6 +34,8 @@ def main():
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--kmax", type=int, default=512)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--orth", default="lanczos_reorth_auto",
+                   choices=["lanczos", "lanczos_reorth", "lanczos_reorth_auto"])
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--no-certify", action="store_true")
     p.add_argument("--basis-cache", default=None,
@@ -73,7 +75,7 @@ def main():
     t_setup = time.perf_counter() - t_setup0
     print(f"deflation setup (m={args.m}): {t_setup:.1f}s", flush=True)
 
-    cfg = tk.SolverConfig(kmax=args.kmax, tol=args.tol, orth="lanczos_reorth_auto")
+    cfg = tk.SolverConfig(kmax=args.kmax, tol=args.tol, orth=args.orth)
     t_solve0 = time.perf_counter()
     res = tk.solve_deflated(op, b, cfg, basis=basis, certify=not args.no_certify)
     t_solve = time.perf_counter() - t_solve0
@@ -85,6 +87,7 @@ def main():
     print("estimate   :", [f"{r:.3e}" for r in res.relative_residual], flush=True)
     print("cert bound :", [f"{r:.3e}" for r in res.certified_bound], flush=True)
     print(f"exp-sum sup: {res.expsum_sup:.3e}", flush=True)
+    print(f"orthogonality drift max|<v_k,v_0>|: {res.orthogonality_drift:.3e}", flush=True)
     if res.measured_cp_residual is not None:
         print(f"measured CP residual (floored cross-check): "
               f"{res.measured_cp_residual:.3e}", flush=True)
@@ -117,6 +120,7 @@ def main():
             "certified_bound": res.certified_bound,
             "expsum_sup": res.expsum_sup,
             "measured_cp_residual": res.measured_cp_residual,
+            "orthogonality_drift": res.orthogonality_drift,
         },
         "timing": {
             "backend": jax.default_backend(),

@@ -141,3 +141,24 @@ def test_deflated_input_validation():
         tk.deflation_basis(ops, 0)
     with pytest.raises(ValueError):
         tk.deflation_basis(ops, 16)
+
+
+def test_twopass_storage_matches_full():
+    """storage='twopass' (basis-free; pass-2 replay accumulation) must
+    reproduce the stored-basis solve essentially exactly."""
+    op = tk.laplace(3, 30, shift=50.0)
+    b = tk.random_rhs(3, 30, seed=7)
+    cfg = tk.SolverConfig(kmax=30, tol=1e-7)
+    r_full = tk.solve_deflated(op, b, cfg, m=6, checkpoints=[8, 16, 24],
+                               storage="full", certify=False)
+    r_two = tk.solve_deflated(op, b, cfg, m=6, checkpoints=[8, 16, 24],
+                              storage="twopass", certify=False)
+    assert r_two.status == r_full.status
+    assert r_two.niterations == r_full.niterations
+    np.testing.assert_allclose(r_two.certified_bound, r_full.certified_bound, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(r_two.x.factors), np.asarray(r_full.x.factors),
+        atol=1e-12, rtol=1e-10,
+    )
+    true_r = float(tk.kron_residual_dense(op, r_two.x, np.asarray(b)))
+    assert true_r <= r_two.certified_bound[-1] + 1e-14
