@@ -516,9 +516,11 @@ def solve_deflated(
     m = basis.m
     tables = tables or load_tables(dtype=config.proj_dtype)
     pdt = config.proj_dtype
-    reorth = {"lanczos": False, "lanczos_reorth": True, "lanczos_reorth_auto": "auto"}[
-        config.orth
-    ]
+    reorth = {
+        "lanczos": "never",
+        "lanczos_reorth": "always",
+        "lanczos_reorth_auto": "auto",
+    }[config.orth]
 
     lam_np = np.asarray(basis.lam, np.float64)
     lam_min = float(lam_np[:, 0].sum())
@@ -569,9 +571,9 @@ def solve_deflated(
         storage = "twopass" if jax.default_backend() == "tpu" else "full"
     if storage not in ("full", "twopass"):
         raise ValueError(f"storage must be 'auto'|'full'|'twopass', got {storage!r}")
-    if storage == "twopass" and reorth:
+    if storage == "twopass":
         # no basis to sweep against; drift is measured (btil probe) instead
-        reorth = False
+        reorth = "never"
 
     if storage == "full":
         state, _ = _init_defl_state(jnp.asarray(b_perp_np, pdt), kmax + 1, pdt)

@@ -148,7 +148,10 @@ def test_twopass_storage_matches_full():
     reproduce the stored-basis solve essentially exactly."""
     op = tk.laplace(3, 30, shift=50.0)
     b = tk.random_rhs(3, 30, seed=7)
-    cfg = tk.SolverConfig(kmax=30, tol=1e-7)
+    # orth='lanczos': replay equivalence holds only for identical recurrences
+    # (reorth sweeps need the stored basis, so 'full' would diverge from the
+    # sweep-free twopass recurrence at the roundoff level)
+    cfg = tk.SolverConfig(kmax=30, tol=1e-7, orth="lanczos")
     r_full = tk.solve_deflated(op, b, cfg, m=6, checkpoints=[8, 16, 24],
                                storage="full", certify=False)
     r_two = tk.solve_deflated(op, b, cfg, m=6, checkpoints=[8, 16, 24],
@@ -162,3 +165,33 @@ def test_twopass_storage_matches_full():
     )
     true_r = float(tk.kron_residual_dense(op, r_two.x, np.asarray(b)))
     assert true_r <= r_two.certified_bound[-1] + 1e-14
+
+
+def test_advance_reorth_always_orthogonalizes():
+    """Regression: orth='lanczos_reorth' must actually run the CGS sweep in
+    the deflated driver (it was silently mapped to a no-op once)."""
+    from tensorkrylov_tpu.deflate import _advance, _init_defl_state
+    import jax.numpy as jnp
+
+    op = tk.laplace(2, 40, shift=0.1)  # kappa ~ 7e2: Ritz pairs converge
+    basis = tk.deflation_basis(op, 2)
+    b = np.asarray(tk.random_rhs(2, 40, seed=5), np.float64)
+    U0 = np.asarray(basis.U, np.float64)[0]
+    c = np.einsum("nm,dn->dm", U0, b)
+    b_perp = b - np.einsum("nm,dm->dn", U0, c)
+
+    k = 30
+    grams = {}
+    for mode in ("never", "always"):
+        state, _ = _init_defl_state(jnp.asarray(b_perp), k + 1, jnp.float64)
+        state = _advance(
+            op.astype(jnp.float64), state, jnp.asarray(b_perp),
+            jnp.asarray(basis.U, jnp.float64),
+            jnp.asarray(1, jnp.int32), jnp.asarray(k + 1, jnp.int32),
+            reorth=mode,
+        )
+        V = np.asarray(state.V)[:, :k, :]  # (d, k, n)
+        G = np.einsum("dkn,djn->dkj", V, V)
+        grams[mode] = np.abs(G - np.eye(k)[None]).max()
+    assert grams["always"] < 1e-13
+    assert grams["always"] < grams["never"] / 10.0
