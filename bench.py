@@ -16,7 +16,10 @@ import time
 import numpy as np
 
 
-def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=200, dtype=None):
+SPMV_D, SPMV_N = 8, 1 << 20  # shared by the measurement and the roofline model
+
+
+def _bench_spmv(tk, jnp, jax, d=SPMV_D, n=SPMV_N, iters=200, dtype=None):
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -64,7 +67,7 @@ def _bench_spmv(tk, jnp, jax, d=8, n=1 << 20, iters=200, dtype=None):
     return nnz * m2 / dt2 / 1e9, nnz
 
 
-def _bench_spmv_cpu(d=8, n=1 << 20, iters=10):
+def _bench_spmv_cpu(d=SPMV_D, n=SPMV_N, iters=10):
     """Host-CPU baseline: the native (C++, multithreaded) banded SpMV from
     csrc/tkcore.cpp — a stand-in for the reference's single-process CPU
     sparse mul!. Falls back to numpy if the toolchain is absent."""
@@ -127,10 +130,10 @@ def main():
     # 'bands_resident' assumes XLA keeps the bands in VMEM across the scan
     # (only v in + u out cross HBM). Measured values between the two mean
     # partial band residency — state the model instead of implying >100%.
-    d_, n_ = 8, 1 << 20
+    elem = 4  # f32 (the measurement's dtype)
     hbm = 819e9
-    stream = nnz / ((5 * d_ * n_ * 4) / hbm) / 1e9
-    resident = nnz / ((2 * d_ * n_ * 4) / hbm) / 1e9
+    stream = nnz / ((5 * SPMV_D * SPMV_N * elem) / hbm) / 1e9
+    resident = nnz / ((2 * SPMV_D * SPMV_N * elem) / hbm) / 1e9
 
     print(
         json.dumps(

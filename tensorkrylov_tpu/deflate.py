@@ -221,7 +221,9 @@ class _DeflState(NamedTuple):
 def _init_defl_state(b_perp, K: int, pdt) -> Tuple[_DeflState, jax.Array]:
     d, n = b_perp.shape
     b_norms = jnp.linalg.norm(b_perp.astype(pdt), axis=1)
-    v0 = (b_perp.astype(pdt) / b_norms[:, None]).astype(pdt)
+    # b⊥_s = 0 (b_s entirely inside span(U_s)) is legal: freeze that factor's
+    # recurrence at zero instead of poisoning the state with NaN
+    v0 = (b_perp.astype(pdt) / jnp.where(b_norms > 0, b_norms, 1.0)[:, None]).astype(pdt)
     V = jnp.zeros((d, K, n), pdt)
     V = lax.dynamic_update_slice(V, v0[:, None, :], (0, 0, 0))
     # distinct buffers (dg/od/btil feed a donated argument — aliased zeros
@@ -463,6 +465,13 @@ def _evaluate(
     return rel_est, boundary_rel_sq, Yu, Yv, weights
 
 
+def _u_lift(U, Yu):
+    """U·Yu → (d, n, t); U is (1, n, m) shared or (d, n, m) distinct."""
+    if U.shape[0] == 1:
+        return jnp.einsum("nm,dmt->dnt", U[0].astype(Yu.dtype), Yu)
+    return jnp.einsum("dnm,dmt->dnt", U.astype(Yu.dtype), Yu)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _assemble(U, V, Yu, Yv, k):
     """Real-space CP factors: U·Yu + V·Yv (V (d, K, n), columns < k)."""
@@ -470,11 +479,7 @@ def _assemble(U, V, Yu, Yv, k):
     mask = (jnp.arange(K) < k).astype(Yv.dtype)
     Yvm = Yv * mask[None, :, None]
     xv = jnp.einsum("dkn,dkt->dnt", V.astype(Yv.dtype), Yvm)
-    if U.shape[0] == 1:
-        xu = jnp.einsum("nm,dmt->dnt", U[0].astype(Yu.dtype), Yu)
-    else:
-        xu = jnp.einsum("dnm,dmt->dnt", U.astype(Yu.dtype), Yu)
-    return xu + xv
+    return _u_lift(U, Yu) + xv
 
 
 def solve_deflated(
@@ -575,10 +580,10 @@ def solve_deflated(
         # no basis to sweep against; drift is measured (btil probe) instead
         reorth = "never"
 
+    b_perp = jnp.asarray(b_perp_np, pdt)  # one upload, shared with the init
     if storage == "full":
-        state, _ = _init_defl_state(jnp.asarray(b_perp_np, pdt), kmax + 1, pdt)
+        state, _ = _init_defl_state(b_perp, kmax + 1, pdt)
     op_c = op.astype(pdt)
-    b_perp = jnp.asarray(b_perp_np, pdt)
     # one explicit transfer (jitted calls would re-upload a numpy U per call)
     U = jnp.asarray(np.asarray(basis.U), pdt)
     c = jnp.asarray(c_np, pdt)
@@ -635,11 +640,7 @@ def solve_deflated(
         X = _pass2_accumulate(
             op_c, b_perp, U, state.od, Yv * mask, jnp.asarray(k_done - 1, jnp.int32)
         )
-        if U.shape[0] == 1:
-            xu = jnp.einsum("nm,dmt->dnt", U[0].astype(Yu.dtype), Yu)
-        else:
-            xu = jnp.einsum("dnm,dmt->dnt", U.astype(Yu.dtype), Yu)
-        xf = xu + X
+        xf = _u_lift(U, Yu) + X
     x = CPTensor(weights, xf)
     btil_np = np.asarray(state.btil)
     kk = np.arange(btil_np.shape[1])

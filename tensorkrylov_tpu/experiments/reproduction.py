@@ -89,8 +89,8 @@ def run_reproduction(
             path = os.path.join(out_dir, f"reproduction_{tag}_n{n}.json")
             with open(path, "w") as f:
                 json.dump(results, f)
-        if verbose:
-            print("saved", path)
+            if verbose:
+                print("saved", path)
     return results
 
 

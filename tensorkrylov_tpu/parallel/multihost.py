@@ -121,4 +121,4 @@ def distribute_problem(op: KroneckerSumOperator, b, mesh: Mesh):
     fspec = "factor" if mesh.shape["factor"] > 1 and d % mesh.shape["factor"] == 0 else None
     bands = global_array(np.asarray(op.bands), mesh, P(fspec, None, "mode"))
     b_g = global_array(np.asarray(b), mesh, P(fspec, "mode"))
-    return KroneckerSumOperator(bands, op.offsets, op.symmetric), b_g
+    return KroneckerSumOperator(bands, op.offsets, op.symmetric, op.halo), b_g

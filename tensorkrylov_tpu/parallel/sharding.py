@@ -57,7 +57,7 @@ def shard_operator(op: KroneckerSumOperator, mesh: Mesh) -> KroneckerSumOperator
     """bands (d, nb, n): n over 'mode', d over 'factor' when divisible."""
     spec = P(_factor_spec(mesh, op.d), None, "mode")
     bands = jax.device_put(op.bands, NamedSharding(mesh, spec))
-    return KroneckerSumOperator(bands, op.offsets, op.symmetric)
+    return KroneckerSumOperator(bands, op.offsets, op.symmetric, op.halo)
 
 
 def shard_rhs(b: jax.Array, mesh: Mesh, d: Optional[int] = None) -> jax.Array:

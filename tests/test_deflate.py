@@ -195,3 +195,23 @@ def test_advance_reorth_always_orthogonalizes():
         grams[mode] = np.abs(G - np.eye(k)[None]).max()
     assert grams["always"] < 1e-13
     assert grams["always"] < grams["never"] / 10.0
+
+
+def test_deflated_solve_b_in_span_U():
+    """b_s entirely inside span(U_s) (zero deflated complement) must not
+    poison the state with NaN — the factor's recurrence freezes at zero and
+    the U-block solves it exactly."""
+    op = tk.laplace(2, 20, shift=5.0)
+    basis = tk.deflation_basis(op, 4)
+    U0 = np.asarray(basis.U, np.float64)[0]
+    b = np.zeros((2, 20))
+    b[0] = U0[:, 0] + 0.5 * U0[:, 2]
+    b[1] = np.random.default_rng(0).standard_normal(20)
+    for storage in ("full", "twopass"):
+        r = tk.solve_deflated(op, jnp.asarray(b), tk.SolverConfig(kmax=20, tol=1e-7),
+                              basis=basis, checkpoints=[6, 12, 18], storage=storage)
+        assert r.converged
+        assert np.isfinite(np.asarray(r.x.factors)).all()
+        assert np.isfinite(r.certified_bound).all()
+        true_r = float(tk.kron_residual_dense(op, r.x, b))
+        assert true_r <= r.certified_bound[-1] + 1e-12
