@@ -53,7 +53,7 @@ import numpy as np
 from jax import lax
 
 from .coeffs.tables import BHTables, load_tables, select_bh
-from .ops.eigen import masked_eigh
+from .ops.eigen import masked_eigh, masked_eigh_tridiag_mixed
 from .ops.expsum import cp_solve_sym
 from .ops.gram import residual_norm_sq
 from .ops.orth import deflation_project
@@ -410,7 +410,7 @@ def expsum_sup_error(omega, alpha, kappa: float, n_grid: int = 200_000) -> float
     return float(np.max(np.abs(1.0 - x * g)))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("eigh_impl",))
 def _evaluate(
     dg, od, btil, beta,  # (d, K) T diag/offdiag, compressed RHS, (d,) β_k
     k,
@@ -419,6 +419,7 @@ def _evaluate(
     b_norm,         # scalar ‖b‖ = Π_s ‖b_s‖
     lam_min,        # exact Σ_s λ_1 (scalar)
     omega, alpha, t_mask,  # (tmax,) exp-sum coefficients (fixed per solve)
+    eigh_impl: str = "dense",
 ):
     """Projected solve + joint-basis residual at Krylov size k.
 
@@ -438,8 +439,14 @@ def _evaluate(
     H = H.at[:, idx[1:], idx[1:] - 1].set(od[:, 1:])
     H = H.at[:, idx[1:] - 1, idx[1:]].set(od[:, 1:])
 
-    # V-block: exp(−γ_j T_s) b̃ via eigh of the masked tridiagonal minor
-    w, Q = masked_eigh(H, k)
+    # V-block: exp(−γ_j T_s) b̃ via eigh of the masked tridiagonal minor.
+    # T is tridiagonal by construction, so the TPU path uses the mixed-
+    # precision tridiagonal solver (f64 dense eigh is software-emulated and
+    # ~100 ms-scale per K×K matrix on TPU — ruinous at flagship K).
+    if eigh_impl == "tridiag_mixed":
+        w, Q = masked_eigh_tridiag_mixed(H, k)
+    else:
+        w, Q = masked_eigh(H, k)
     weights, Yv = cp_solve_sym(w, Q, btil, k, omega, alpha, t_mask, lam_min)
 
     # U-block: exp(−γ_j Λ_s) c_s — exact diagonal scaling
@@ -526,6 +533,9 @@ def solve_deflated(
         "lanczos_reorth": "always",
         "lanczos_reorth_auto": "auto",
     }[config.orth]
+    eigh_impl = config.eigh_impl
+    if eigh_impl == "auto":
+        eigh_impl = "tridiag_mixed" if jax.default_backend() == "tpu" else "dense"
 
     lam_np = np.asarray(basis.lam, np.float64)
     lam_min = float(lam_np[:, 0].sum())
@@ -624,6 +634,7 @@ def solve_deflated(
             jnp.asarray(ck, jnp.int32), basis.lam, c,
             jnp.asarray(b_norm, pdt), jnp.asarray(lam_min, pdt),
             coeffs.omega, coeffs.alpha, coeffs.t_mask,
+            eigh_impl=eigh_impl,
         )
         rel_hist.append(float(rel))
         bound_hist.append(sup_err + float(np.sqrt(max(float(brs), 0.0))))

@@ -215,3 +215,21 @@ def test_deflated_solve_b_in_span_U():
         assert np.isfinite(r.certified_bound).all()
         true_r = float(tk.kron_residual_dense(op, r.x, b))
         assert true_r <= r.certified_bound[-1] + 1e-12
+
+
+def test_deflated_eigh_impl_tridiag_mixed_matches_dense():
+    """The TPU checkpoint evaluation (mixed-precision tridiagonal eigh) must
+    match the dense-eigh evaluation to f64 working accuracy."""
+    op = tk.laplace(3, 30, shift=50.0)
+    b = tk.random_rhs(3, 30, seed=7)
+    r_d = tk.solve_deflated(op, b, tk.SolverConfig(kmax=30, tol=1e-7, eigh_impl="dense"),
+                            m=6, checkpoints=[8, 16, 24], certify=False)
+    r_m = tk.solve_deflated(op, b,
+                            tk.SolverConfig(kmax=30, tol=1e-7, eigh_impl="tridiag_mixed"),
+                            m=6, checkpoints=[8, 16, 24], certify=False)
+    assert r_m.status == r_d.status
+    np.testing.assert_allclose(r_m.certified_bound, r_d.certified_bound, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(r_m.x.factors), np.asarray(r_d.x.factors),
+                               atol=1e-10)
+    true_r = float(tk.kron_residual_dense(op, r_m.x, np.asarray(b)))
+    assert true_r <= r_m.certified_bound[-1] + 1e-12
