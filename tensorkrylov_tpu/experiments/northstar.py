@@ -37,6 +37,9 @@ def main():
     p.add_argument("--orth", default="lanczos_reorth_auto",
                    choices=["lanczos", "lanczos_reorth", "lanczos_reorth_auto"])
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--eigh-impl", default="auto", choices=["auto", "dense", "tridiag_mixed"])
+    p.add_argument("--checkpoints", type=int, nargs="+", default=None,
+                   help="explicit certificate checkpoints (default: geometric from 32)")
     p.add_argument("--no-certify", action="store_true")
     p.add_argument("--basis-cache", default=None,
                    help="npz path to save/load the deflation basis (default: /tmp, keyed by n/m/sigma)")
@@ -75,9 +78,11 @@ def main():
     t_setup = time.perf_counter() - t_setup0
     print(f"deflation setup (m={args.m}): {t_setup:.1f}s", flush=True)
 
-    cfg = tk.SolverConfig(kmax=args.kmax, tol=args.tol, orth=args.orth)
+    cfg = tk.SolverConfig(kmax=args.kmax, tol=args.tol, orth=args.orth,
+                          eigh_impl=args.eigh_impl)
     t_solve0 = time.perf_counter()
-    res = tk.solve_deflated(op, b, cfg, basis=basis, certify=not args.no_certify)
+    res = tk.solve_deflated(op, b, cfg, basis=basis, certify=not args.no_certify,
+                            checkpoints=args.checkpoints)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
 
