@@ -90,16 +90,38 @@ def _tridiag_parts(bands: np.ndarray, offsets: Tuple[int, ...]):
     return diag, e
 
 
+def _toeplitz_lowest_m(n: int, m: int, a: float, b: float):
+    """Analytic lowest-m eigenpairs of the symmetric tridiagonal *Toeplitz*
+    matrix tridiag(b, a, b): λ_j = a + 2b·cos(jπ/(n+1)), v_j(i) =
+    √(2/(n+1))·sin(ijπ/(n+1)) — the reference's analytic Laplace spectrum
+    (/root/reference/src/eigenvalues.jl:226-265) generalized to any constant
+    diagonal shift. O(n·m) sin evaluations (~seconds at the flagship
+    n=131072, m=1024) where LAPACK stebz/stein takes minutes. The integer
+    phase i·j is reduced mod 2(n+1) exactly before the float multiply, so
+    every sin argument stays in [0, 2π) with ~ulp error."""
+    j_all = np.arange(1, n + 1, dtype=np.int64)
+    # b ≤ 0 → λ increases with j (lowest at j=1); b > 0 → reversed
+    js = j_all[:m] if b <= 0 else j_all[::-1][:m]
+    lam = a + 2.0 * b * np.cos(js * (np.pi / (n + 1)))
+    i = np.arange(1, n + 1, dtype=np.int64)
+    phase = (i[:, None] * js[None, :]) % (2 * (n + 1))
+    U = np.sqrt(2.0 / (n + 1)) * np.sin(phase * (np.pi / (n + 1)))
+    return lam.astype(np.float64), U
+
+
 def deflation_basis(
     op: KroneckerSumOperator, m: int, dtype=None
 ) -> DeflationBasis:
     """Host-side setup (one-time, off the hot path — the analogue of the
     reference's coefficient-file loading): lowest-m eigenpairs per factor.
 
-    Tridiagonal symmetric factors use LAPACK stebz/stein via
-    scipy.linalg.eigh_tridiagonal (O(n·m)); anything else falls back to a
-    dense eigh of the materialized factor (small-n path). Identical factors
-    are detected and computed once (U shape (1, n, m)).
+    Constant-coefficient tridiagonal factors (Laplace / reaction–diffusion,
+    the flagship family) take the analytic Toeplitz path (`_toeplitz_lowest_m`,
+    sin eigenvectors — seconds at n=1e5); other tridiagonal symmetric factors
+    use LAPACK stebz/stein via scipy.linalg.eigh_tridiagonal (O(n·m));
+    anything else falls back to a dense eigh of the materialized factor
+    (small-n path). Identical factors are detected and computed once
+    (U shape (1, n, m)).
     """
     if not op.symmetric:
         raise ValueError("deflation requires a symmetric (SPD) operator")
@@ -114,9 +136,17 @@ def deflation_basis(
 
     def lowest_m(s: int):
         if tridiag:
+            diag, e = _tridiag_parts(bands[s : s + 1], op.offsets)
+            a, off = diag[0], e[0]
+            if (
+                off.size
+                and np.all(a == a[0])
+                and np.all(off == off[0])
+                and off[0] != 0.0
+            ):
+                return _toeplitz_lowest_m(n, m, float(a[0]), float(off[0]))
             from scipy.linalg import eigh_tridiagonal
 
-            diag, e = _tridiag_parts(bands[s : s + 1], op.offsets)
             w, U = eigh_tridiagonal(
                 diag[0], e[0], select="i", select_range=(0, m - 1)
             )

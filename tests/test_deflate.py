@@ -57,6 +57,34 @@ def test_deflation_basis_distinct_and_dense_fallback():
     np.testing.assert_allclose(np.asarray(b5.lam)[0], w[:3], rtol=1e-10)
 
 
+def test_deflation_basis_toeplitz_analytic_branches():
+    """Analytic sin-eigenvector path: both off-diagonal signs, and the
+    LAPACK path for a non-constant tridiagonal, all vs dense eigh."""
+    from scipy.linalg import eigh_tridiagonal
+
+    from tensorkrylov_tpu.deflate import _toeplitz_lowest_m
+
+    n, m = 37, 6
+    for a, b in ((2.0 * 38.0**2 + 5.0, -(38.0**2)), (3.0, 1.7)):
+        lam, U = _toeplitz_lowest_m(n, m, a, b)
+        w, V = eigh_tridiagonal(
+            np.full(n, a), np.full(n - 1, b), select="i", select_range=(0, m - 1)
+        )
+        np.testing.assert_allclose(lam, w, rtol=1e-13)
+        assert np.abs(np.abs(U.T @ V) - np.eye(m)).max() < 1e-11
+        assert np.all(np.diff(lam) > 0)  # ascending, both orderings
+
+    # non-constant diagonal → must take the LAPACK tridiag branch and agree
+    diag = 100.0 + np.linspace(0.0, 9.0, n)
+    T = np.diag(diag) + np.diag(np.full(n - 1, -3.0), 1) + np.diag(
+        np.full(n - 1, -3.0), -1
+    )
+    op = tk.operator_from_dense_factors(T[None], symmetric=True)
+    basis = tk.deflation_basis(op, m)
+    w = np.linalg.eigvalsh(T)
+    np.testing.assert_allclose(np.asarray(basis.lam)[0], w[:m], rtol=1e-10)
+
+
 def test_deflated_solve_certified_vs_dense_oracle():
     op = tk.laplace(3, 30, shift=50.0)
     b = tk.random_rhs(3, 30, seed=7)
