@@ -58,8 +58,7 @@ from .ops.expsum import cp_solve_sym
 from .ops.gram import residual_norm_sq
 from .ops.orth import deflation_project
 from .types import CPTensor, KroneckerSumOperator, SolverConfig, Status
-from .utils.cp import cp_norm_accurate
-from .refine import cp_residual
+from .utils.cp import cp_residual_norm_accurate
 
 __all__ = ["DeflationBasis", "deflation_basis", "solve_deflated", "DeflatedResult"]
 
@@ -693,8 +692,9 @@ def solve_deflated(
     # rank-(1+d·t) CP residual materializes (flagship HBM headroom)
     measured = None
     if certify:
-        r = cp_residual(op, x, b)
-        measured = float(cp_norm_accurate(r)) / b_norm
+        # structured Gram evaluation: O(d·n·t) HBM, not O(d·n·d·t) —
+        # materializing the rank-(1+d·t) residual OOMs the flagship chip
+        measured = cp_residual_norm_accurate(op, x, b) / b_norm
     return DeflatedResult(
         x=x,
         status=status,

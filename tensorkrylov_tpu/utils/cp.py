@@ -84,6 +84,49 @@ def cp_norm_accurate(x: CPTensor) -> float:
     return float(np.sqrt(max(cp_dot_accurate(x, x), 0.0)))
 
 
+def cp_residual_norm_accurate(op, x: CPTensor, b) -> float:
+    """‖b − A x‖ exactly, without materializing the rank-(1+d·t) residual.
+
+    Mathematically identical to cp_norm_accurate(cp_residual(op, x, b)) but
+    memory-bounded: the residual's mode-s factor matrix has only 1+2t
+    DISTINCT columns ([b_s | X_s | A_s X_s]); its (1+d·t)² Gram matrix is an
+    indexed view of the (1+2t)² Gram of those columns. Device work is one
+    batched SpMV + one (1+2t)² einsum per call (O(d·n·t) HBM instead of
+    O(d·n·d·t) — 6.6 GB → 130 MB at the flagship size); the cancellative
+    rank-pair contraction runs in host longdouble exactly as
+    cp_dot_accurate. Same role as the reference's Lemma-3.4 Gram masking
+    (/root/reference/src/utils.jl:255-324), applied to the full-space
+    residual."""
+    from ..ops.banded import spmv
+
+    X = x.factors.astype(jnp.float64)
+    d, n, t = X.shape
+    b = jnp.asarray(b, jnp.float64)
+    AX = jnp.swapaxes(spmv(op.astype(jnp.float64), jnp.swapaxes(X, 1, 2)), 1, 2)
+    C = jnp.concatenate([b[:, :, None], X, AX], axis=2)       # (d, n, 1+2t)
+    G_small = np.asarray(
+        jnp.einsum("dni,dnj->dij", C, C), np.longdouble
+    )                                                          # (d, 1+2t, 1+2t)
+
+    # column map of the full residual factor matrix, per mode s:
+    # col 0 = b_s; col 1+s'·t+j = (A_s X_s)[:, j] if s' == s else X_s[:, j]
+    sp = np.repeat(np.arange(d), t)                            # group of col
+    jj = np.tile(np.arange(t), d)
+    idx = np.empty((d, 1 + d * t), np.int64)
+    idx[:, 0] = 0
+    for s in range(d):
+        idx[s, 1:] = np.where(sp == s, 1 + t + jj, 1 + jj)
+    # weights: r = 1·b − Σ_{s',j} w_j · (A applied in mode s')
+    w = np.concatenate(
+        [[1.0], -np.tile(np.asarray(x.weights, np.float64), d)]
+    ).astype(np.longdouble)
+
+    P = np.ones((1 + d * t, 1 + d * t), np.longdouble)
+    for s in range(d):
+        P *= G_small[s][np.ix_(idx[s], idx[s])]
+    return float(np.sqrt(max(float(w @ P @ w), 0.0)))
+
+
 def cp_full(x: CPTensor) -> np.ndarray:
     """Materialize to a length-Π n_s vector (tests/debug only; tiny problems).
 

@@ -85,6 +85,27 @@ def test_deflation_basis_toeplitz_analytic_branches():
     np.testing.assert_allclose(np.asarray(basis.lam)[0], w[:m], rtol=1e-10)
 
 
+def test_structured_residual_norm_matches_materialized():
+    """cp_residual_norm_accurate (indexed-Gram, memory-bounded) must equal
+    cp_norm_accurate(cp_residual(...)) — the flagship-size certify path."""
+    from tensorkrylov_tpu.refine import cp_residual
+    from tensorkrylov_tpu.utils.cp import (
+        cp_norm_accurate,
+        cp_residual_norm_accurate,
+    )
+
+    op = tk.reaction_diffusion(3, 24, sigma=300.0)
+    b = tk.random_rhs(3, 24, seed=0)
+    b = b / np.linalg.norm(np.asarray(b), axis=1, keepdims=True)
+    basis = tk.deflation_basis(op, 5)
+    # unconverged solve → nonzero residual with nontrivial CP weights
+    r = tk.solve_deflated(op, b, tk.SolverConfig(kmax=4, tol=1e-10), basis=basis)
+    old = float(cp_norm_accurate(cp_residual(op, r.x, b)))
+    new = cp_residual_norm_accurate(op, r.x, b)
+    assert abs(new - old) <= 1e-10 * old
+    assert abs(new - tk.kron_residual_dense(op, r.x, np.asarray(b))) < 1e-8  # ||b||=1
+
+
 def test_deflated_solve_certified_vs_dense_oracle():
     op = tk.laplace(3, 30, shift=50.0)
     b = tk.random_rhs(3, 30, seed=7)
