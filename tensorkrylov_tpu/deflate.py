@@ -501,6 +501,106 @@ def _evaluate(
     return rel_est, boundary_rel_sq, Yu, Yv, weights
 
 
+def _evaluate_host(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
+                   omega, alpha, t_mask):
+    """Host (numpy) twin of `_evaluate` — exact-size, no padding.
+
+    Rationale: at flagship scale the device projected stage (batched K×K
+    f64 eigh + joint Lemma-3.4) crashes this machine's tunneled TPU worker
+    (both the mixed-tridiagonal and the emulated dense eigh; reproduced at
+    n=131072, K≥769), while the Lanczos segments themselves run fine. The
+    checkpoint algebra is tiny (k ≤ ~1e3), so `eigh_impl='host'` runs it in
+    scipy/numpy between jitted segments: per-factor tridiagonal eigh, then
+    the O(d²t²) rank-pair contraction in longdouble — the reference's own
+    MVnorm strategy (/root/reference/src/utils.jl:255-324), which on host
+    costs microseconds and gains ~3 decades on the cancellation floor.
+    Returns (rel, boundary_rel_sq, Yu, Yv, weights) with device-compatible
+    padded shapes."""
+    from scipy.linalg import eigh_tridiagonal
+
+    ld = np.longdouble
+    d, K = dg.shape
+    m = lam.shape[1]
+    tmax = omega.shape[0]
+    act = np.flatnonzero(t_mask > 0)
+    t = act.size
+    gam = alpha[act] / lam_min                                  # (t,)
+    w_t = (omega[act] / lam_min)                                # (t,)
+
+    Yv_k = np.zeros((d, k, t))
+    Zv_k = np.zeros((d, k, t))
+    for s in range(d):
+        w_s, Q_s = eigh_tridiagonal(dg[s, :k], od[s, 1:k])
+        g = Q_s.T @ btil[s, :k]
+        ex = np.exp(-np.clip(w_s[:, None] * gam[None, :], -700.0, 700.0))
+        Yv_k[s] = Q_s @ (ex * g[:, None])
+        Zv_k[s] = Q_s @ ((w_s[:, None] * ex) * g[:, None])      # T_s @ Yv
+
+    ex_u = np.exp(-np.clip(lam[:, :, None] * gam[None, None, :], -700.0, 700.0))
+    Yu_k = ex_u * c[:, :, None]                                 # (d, m, t)
+    Zu_k = lam[:, :, None] * Yu_k
+
+    # joint per-mode factors [U-block; V-block] and their Grams (longdouble)
+    Y = np.concatenate([Yu_k, Yv_k], axis=1)                    # (d, m+k, t)
+    Z = np.concatenate([Zu_k, Zv_k], axis=1)
+    bt = np.concatenate([c, btil[:, :k]], axis=1)               # (d, m+k)
+    Gy = np.einsum("dpi,dpj->dij", Y, Y).astype(ld)
+    Gz = np.einsum("dpi,dpj->dij", Z, Z).astype(ld)
+    Xg = np.einsum("dpi,dpj->dij", Y, Z).astype(ld)             # YᵀZ
+    yb = np.einsum("dpi,dp->di", Y, bt).astype(ld)
+    zb = np.einsum("dpi,dp->di", Z, bt).astype(ld)
+    b2 = np.prod(np.einsum("dp,dp->d", bt, bt).astype(ld))
+    wl = np.asarray(w_t, ld)
+
+    # ‖Hy‖²: modes contribute Gz (s=s'=mode), X (one of them), Gy (neither)
+    hy2 = ld(0.0)
+    for s in range(d):
+        for sp in range(d):
+            P = np.ones((t, t), ld)
+            for mo in range(d):
+                if mo == s and mo == sp:
+                    P *= Gz[mo]
+                elif mo == s:
+                    P *= Xg[mo].T                                # ⟨Z_i, Y_j⟩
+                elif mo == sp:
+                    P *= Xg[mo]                                  # ⟨Y_i, Z_j⟩
+                else:
+                    P *= Gy[mo]
+            hy2 += wl @ P @ wl
+    # ⟨Hy, b̃⟩
+    ip = ld(0.0)
+    for s in range(d):
+        P = np.ones((t,), ld)
+        for mo in range(d):
+            P *= zb[mo] if mo == s else yb[mo]
+        ip += wl @ P
+    r_comp_sq = hy2 - 2.0 * ip + b2
+
+    # boundary: last V-row of each mode, excluded-product Grams
+    yr = Yv_k[:, k - 1, :].astype(ld)                           # (d, t)
+    boundary = ld(0.0)
+    for s in range(d):
+        E = np.ones((t, t), ld)
+        for mo in range(d):
+            if mo != s:
+                E *= Gy[mo]
+        bg = np.outer(yr[s], yr[s]) * ld(beta[s]) ** 2
+        boundary += wl @ (bg * E) @ wl
+    boundary = float(boundary)
+
+    rel = float(np.sqrt(boundary + max(float(r_comp_sq), 0.0))) / b_norm
+    brs = boundary / (b_norm * b_norm)
+
+    # pad back to device conventions: (d, K, tmax) columns masked by t_mask
+    Yv = np.zeros((d, K, tmax))
+    Yu = np.zeros((d, m, tmax))
+    Yv[:, :k, act] = Yv_k
+    Yu[:, :, act] = Yu_k
+    weights = np.zeros((tmax,))
+    weights[act] = w_t
+    return rel, brs, Yu, Yv, weights
+
+
 def _u_lift(U, Yu):
     """U·Yu → (d, n, t); U is (1, n, m) shared or (d, n, m) distinct."""
     if U.shape[0] == 1:
@@ -658,13 +758,22 @@ def solve_deflated(
                 jnp.asarray(ck + 1, jnp.int32),
             )
         k_prev = ck + 1
-        rel, brs, Yu, Yv, weights = _evaluate(
-            state.dg, state.od, state.btil, state.beta,
-            jnp.asarray(ck, jnp.int32), basis.lam, c,
-            jnp.asarray(b_norm, pdt), jnp.asarray(lam_min, pdt),
-            coeffs.omega, coeffs.alpha, coeffs.t_mask,
-            eigh_impl=eigh_impl,
-        )
+        if eigh_impl == "host":
+            rel, brs, Yu, Yv, weights = _evaluate_host(
+                np.asarray(state.dg), np.asarray(state.od),
+                np.asarray(state.btil), np.asarray(state.beta), ck,
+                np.asarray(basis.lam), np.asarray(c), b_norm, lam_min,
+                np.asarray(coeffs.omega), np.asarray(coeffs.alpha),
+                np.asarray(coeffs.t_mask),
+            )
+        else:
+            rel, brs, Yu, Yv, weights = _evaluate(
+                state.dg, state.od, state.btil, state.beta,
+                jnp.asarray(ck, jnp.int32), basis.lam, c,
+                jnp.asarray(b_norm, pdt), jnp.asarray(lam_min, pdt),
+                coeffs.omega, coeffs.alpha, coeffs.t_mask,
+                eigh_impl=eigh_impl,
+            )
         rel_hist.append(float(rel))
         bound_hist.append(sup_err + float(np.sqrt(max(float(brs), 0.0))))
         k_done = ck

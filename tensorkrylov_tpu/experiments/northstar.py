@@ -37,7 +37,8 @@ def main():
     p.add_argument("--orth", default="lanczos_reorth_auto",
                    choices=["lanczos", "lanczos_reorth", "lanczos_reorth_auto"])
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--eigh-impl", default="auto", choices=["auto", "dense", "tridiag_mixed"])
+    p.add_argument("--eigh-impl", default="auto",
+                   choices=["auto", "dense", "tridiag_mixed", "host"])
     p.add_argument("--checkpoints", type=int, nargs="+", default=None,
                    help="explicit certificate checkpoints (default: geometric from 32)")
     p.add_argument("--no-certify", action="store_true")

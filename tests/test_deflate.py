@@ -85,6 +85,32 @@ def test_deflation_basis_toeplitz_analytic_branches():
     np.testing.assert_allclose(np.asarray(basis.lam)[0], w[:m], rtol=1e-10)
 
 
+def test_host_evaluate_matches_device():
+    """eigh_impl='host' (numpy/longdouble checkpoint algebra) must agree
+    with the device evaluate: bounds tightly, estimates up to the f64
+    cancellation floor (the host contraction is the MORE accurate one)."""
+    op = tk.reaction_diffusion(3, 36, sigma=500.0)
+    b = tk.random_rhs(3, 36, seed=3)
+    b = b / np.linalg.norm(np.asarray(b), axis=1, keepdims=True)
+    basis = tk.deflation_basis(op, 8)
+    cks = [8, 16, 36]
+    rd = tk.solve_deflated(
+        op, b, tk.SolverConfig(kmax=36, tol=1e-9, eigh_impl="dense"),
+        basis=basis, checkpoints=cks,
+    )
+    rh = tk.solve_deflated(
+        op, b, tk.SolverConfig(kmax=36, tol=1e-9, eigh_impl="host"),
+        basis=basis, checkpoints=cks,
+    )
+    assert rd.converged and rh.converged
+    for a, h in zip(rd.certified_bound, rh.certified_bound):
+        assert abs(a - h) <= 1e-6 * a + 1e-14
+    for a, h in zip(rd.relative_residual, rh.relative_residual):
+        assert abs(a - h) <= 1e-4 * max(a, h) + 1e-7  # f64 floor slack
+    tr = tk.kron_residual_dense(op, rh.x, np.asarray(b))
+    assert tr <= rh.certified_bound[-1] + 1e-12
+
+
 def test_structured_residual_norm_matches_materialized():
     """cp_residual_norm_accurate (indexed-Gram, memory-bounded) must equal
     cp_norm_accurate(cp_residual(...)) — the flagship-size certify path."""
