@@ -94,9 +94,15 @@ def main():
     print("cert bound :", [f"{r:.3e}" for r in res.certified_bound], flush=True)
     print(f"exp-sum sup: {res.expsum_sup:.3e}", flush=True)
     print(f"orthogonality drift max|<v_k,v_0>|: {res.orthogonality_drift:.3e}", flush=True)
+    if res.pass2_gram_max is not None:
+        print(f"pass-2 audit: sampled pairwise gram max {res.pass2_gram_max:.3e}, "
+              f"replayed-beta rel dev {res.pass2_beta_rel_dev:.3e}", flush=True)
     if res.measured_cp_residual is not None:
-        print(f"measured CP residual (floored cross-check): "
-              f"{res.measured_cp_residual:.3e}", flush=True)
+        interp = ("below its own measurement floor"
+                  if res.measured_cp_residual <= (res.cp_residual_floor or 0.0)
+                  else "above floor — independent confirmation")
+        print(f"measured CP residual cross-check: {res.measured_cp_residual:.3e} "
+              f"(validity floor {res.cp_residual_floor:.3e}; {interp})", flush=True)
     its = res.niterations / t_solve
     print(f"solve {t_solve:.1f}s ({its:.1f} it/s incl. checkpoints), "
           f"total {wall:.1f}s", flush=True)
@@ -117,6 +123,17 @@ def main():
             "solver": "solve_deflated", "m": args.m, "kmax": args.kmax,
             "orth": cfg.orth, "basis_dtype": "float64",
             "expsum_rank": res.expsum_rank,
+            # resolved implementation switches (ADVICE r2: the artifact must
+            # be reproducible from itself)
+            "eigh_impl_requested": args.eigh_impl,
+            "eigh_impl_resolved": (
+                args.eigh_impl if args.eigh_impl != "auto"
+                else ("tridiag_mixed" if jax.default_backend() == "tpu" else "dense")
+            ),
+            "storage_resolved": (
+                "twopass" if jax.default_backend() == "tpu" else "full"
+            ),
+            "checkpoints_requested": args.checkpoints,
         },
         "result": {
             "status": res.status, "converged": bool(res.converged),
@@ -126,7 +143,18 @@ def main():
             "certified_bound": res.certified_bound,
             "expsum_sup": res.expsum_sup,
             "measured_cp_residual": res.measured_cp_residual,
+            "cp_residual_floor": res.cp_residual_floor,
+            "cp_residual_interpretation": (
+                None if res.measured_cp_residual is None else (
+                    "<= floor (measurement floored by sqrt(eps64*Gram mass); "
+                    "says residual <= floor, nothing finer)"
+                    if res.measured_cp_residual <= (res.cp_residual_floor or 0.0)
+                    else "above floor: independent basis-free confirmation"
+                )
+            ),
             "orthogonality_drift": res.orthogonality_drift,
+            "pass2_gram_max": res.pass2_gram_max,
+            "pass2_beta_rel_dev": res.pass2_beta_rel_dev,
         },
         "timing": {
             "backend": jax.default_backend(),

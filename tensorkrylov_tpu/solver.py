@@ -427,6 +427,16 @@ def _resolve_config(config: SolverConfig, op: KroneckerSumOperator, host_project
     """Resolve 'auto' settings against the runtime backend. The resolved
     config is carried on SolveResult.config, so the chosen step/eigh
     implementations are always observable (VERDICT.md round-1 weak #7)."""
+    if config.eigh_impl == "host":
+        # host checkpoint algebra exists only in the deflated driver
+        # (deflate.py:_evaluate_host); silently falling back to a device
+        # eigh here would hand the user a different implementation than
+        # requested (ADVICE r2)
+        raise ValueError(
+            "eigh_impl='host' is only supported by solve_deflated; use "
+            "'auto'/'dense'/'tridiag_mixed' for solve/solve_multi_rhs/block "
+            "(or solve_host_projected to run the whole projected stage on host)"
+        )
     if config.eigh_impl == "auto":
         on_tpu = jax.default_backend() == "tpu" and not host_projected
         impl = (

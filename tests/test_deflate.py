@@ -308,3 +308,62 @@ def test_deflated_eigh_impl_tridiag_mixed_matches_dense():
                                atol=1e-10)
     true_r = float(tk.kron_residual_dense(op, r_m.x, np.asarray(b)))
     assert true_r <= r_m.certified_bound[-1] + 1e-12
+
+
+def test_pass2_audit_and_cross_check_floor():
+    """storage='twopass' must return the replay audit (sampled pairwise Gram
+    + replayed-vs-recorded beta deviation) and the cross-check's validity
+    floor (VERDICT r2 weak #1/#5)."""
+    op = tk.laplace(2, 36, shift=30.0)
+    b = tk.random_rhs(2, 36, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    r = tk.solve_deflated(op, b, tk.SolverConfig(kmax=24, tol=1e-10),
+                          m=6, storage="twopass")
+    # audit present and at f64 roundoff scale for this tiny well-conditioned
+    # problem: the replay is bit-deterministic and drift is benign
+    assert r.pass2_gram_max is not None and r.pass2_beta_rel_dev is not None
+    assert r.pass2_beta_rel_dev < 1e-12          # replay premise holds
+    assert r.pass2_gram_max < 1e-8               # sampled orthonormality
+    # cross-check floor is recorded and the measurement is interpretable
+    assert r.cp_residual_floor is not None and r.cp_residual_floor > 0.0
+    true_r = float(tk.kron_residual_dense(op, r.x, np.asarray(b)))
+    # either the measurement resolves the true residual, or it is floored
+    if r.measured_cp_residual > r.cp_residual_floor:
+        assert abs(r.measured_cp_residual - true_r) < 10 * r.cp_residual_floor
+    else:
+        assert true_r < 10 * max(r.cp_residual_floor, 1e-15)
+    # full storage path reports no pass-2 audit (no replay happens)
+    rf = tk.solve_deflated(op, b, tk.SolverConfig(kmax=24, tol=1e-10),
+                           m=6, storage="full")
+    assert rf.pass2_gram_max is None
+
+
+def test_tridiag_parts_plus_band_only():
+    """A symmetric tridiagonal operator stored with offsets (0, +1) must
+    yield the same deflation basis as the (-1, 0) storage (ADVICE r2: the
+    +1-only layout used to silently produce e=0 → a diagonal-matrix basis)."""
+    from tensorkrylov_tpu.deflate import _tridiag_parts
+
+    n = 18
+    rng = np.random.default_rng(3)
+    diag = 8.0 + rng.uniform(0.5, 1.0, n)
+    e = -rng.uniform(0.2, 0.4, n - 1)
+
+    lo = np.zeros((1, 2, n)); lo[0, 0] = diag; lo[0, 1, 1:] = e   # (0, -1)
+    hi = np.zeros((1, 2, n)); hi[0, 0] = diag; hi[0, 1, :-1] = e  # (0, +1)
+    d_lo, e_lo = _tridiag_parts(lo, (0, -1))
+    d_hi, e_hi = _tridiag_parts(hi, (0, 1))
+    np.testing.assert_array_equal(d_lo, d_hi)
+    np.testing.assert_array_equal(e_lo, e_hi)
+
+    op_hi = KroneckerSumOperator(jnp.asarray(hi), (0, 1), True)
+    basis = tk.deflation_basis(op_hi, 4)
+    A = np.diag(diag) + np.diag(e, 1) + np.diag(e, -1)
+    w = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.asarray(basis.lam)[0], w[:4], rtol=1e-10)
+
+    # disagreeing double-stored bands are rejected, not silently averaged
+    bad = np.zeros((1, 3, n)); bad[0, 0] = diag
+    bad[0, 1, 1:] = e; bad[0, 2, :-1] = 2.0 * e
+    with pytest.raises(ValueError, match="disagree"):
+        _tridiag_parts(bad, (0, -1, 1))
