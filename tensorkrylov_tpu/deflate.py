@@ -703,6 +703,8 @@ def solve_deflated(
     checkpoints: Optional[Sequence[int]] = None,
     certify: bool = True,
     storage: str = "auto",
+    mesh=None,
+    comm: str = "gspmd",
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -718,6 +720,17 @@ def solve_deflated(
     (O(d·n·t) memory, no kmax ceiling; the mode the TPU AOT compiler's
     loop-carry accounting requires at flagship sizes). 'auto' → 'twopass'
     on TPU, 'full' elsewhere.
+
+    mesh: a ('factor', 'mode') jax.sharding.Mesh (parallel.make_mesh) to
+    shard the solve: every n-sized array — b⊥, the deflation basis U, the
+    recurrence vectors, the stored/replayed Krylov columns, the solution
+    accumulator — shards its mode axis; the SpMV halo exchanges and every
+    U-projection/dot reduction become XLA collectives over 'mode' (psum /
+    collective-permute on ICI). The k-sized checkpoint algebra stays
+    replicated (or on host, eigh_impl='host'), exactly like solve_sharded.
+    comm: 'gspmd' (XLA chooses collectives from the shardings) or 'ring'
+    (every SpMV runs the explicit shard_map + ppermute halo path,
+    parallel/halo.py). SURVEY.md §2.14.2; BASELINE.json config 5.
     """
     config = config or SolverConfig()
     b = jnp.asarray(b)
@@ -793,12 +806,41 @@ def solve_deflated(
         # no basis to sweep against; drift is measured (btil probe) instead
         reorth = "never"
 
-    b_perp = jnp.asarray(b_perp_np, pdt)  # one upload, shared with the init
+    if comm not in ("gspmd", "ring"):
+        raise ValueError(f"comm must be 'gspmd' or 'ring', got {comm!r}")
+    mode_sh = basis_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.sharding import _factor_spec
+
+        if "mode" not in mesh.shape:
+            raise ValueError("solve_deflated mesh needs a 'mode' axis")
+        fs = _factor_spec(mesh, op.d) if "factor" in mesh.shape else None
+        mode_sh = NamedSharding(mesh, P(fs, "mode"))           # (d, n)
+        basis_sh = NamedSharding(mesh, P(fs, None, "mode"))    # (d, K, n)
+        u_sh = NamedSharding(
+            mesh, P(None if basis.U.shape[0] == 1 else fs, "mode", None)
+        )
+        band_sh = NamedSharding(mesh, P(fs, None, "mode"))
+
+    def _put(x, sh):
+        return x if sh is None else jax.device_put(x, sh)
+
+    b_perp = _put(jnp.asarray(b_perp_np, pdt), mode_sh)  # shared with init
     if storage == "full":
         state, _ = _init_defl_state(b_perp, kmax + 1, pdt)
+        if basis_sh is not None:
+            state = state._replace(V=_put(state.V, basis_sh))
     op_c = op.astype(pdt)
+    if mesh is not None:
+        op_c = dataclasses.replace(
+            op_c,
+            bands=_put(op_c.bands, band_sh),
+            halo=(mesh, "mode", fs) if comm == "ring" else op_c.halo,
+        )
     # one explicit transfer (jitted calls would re-upload a numpy U per call)
-    U = jnp.asarray(np.asarray(basis.U), pdt)
+    U = _put(jnp.asarray(np.asarray(basis.U), pdt), None if mesh is None else u_sh)
     c = jnp.asarray(c_np, pdt)
     if storage == "twopass":
         b_norms_d = jnp.linalg.norm(b_perp, axis=1)

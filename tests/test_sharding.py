@@ -110,3 +110,29 @@ def test_halo_spmv_batched_columns(mesh8):
     )
     out = np.asarray(spmv(op_h, v))
     np.testing.assert_allclose(out, ref, rtol=1e-13)
+
+
+def test_solve_deflated_sharded_matches_single_device():
+    """Mode-sharded deflated solve (GSPMD and explicit ring-halo) must match
+    the single-device result to roundoff, for both storage modes
+    (VERDICT r2 missing #2 / next #3)."""
+    import tensorkrylov_tpu as tk
+    from tensorkrylov_tpu.parallel import make_mesh
+
+    op = tk.laplace(2, 64, shift=30.0)
+    b = tk.random_rhs(2, 64, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = tk.SolverConfig(kmax=20, tol=1e-10)
+    r0 = tk.solve_deflated(op, b, cfg, m=6, storage="twopass")
+    mesh = make_mesh(8, factor_parallel=2)
+    tr0 = tk.kron_residual_dense(op, r0.x, np.asarray(b))
+    for comm in ("gspmd", "ring"):
+        r1 = tk.solve_deflated(op, b, cfg, m=6, storage="twopass",
+                               mesh=mesh, comm=comm)
+        assert r1.status == r0.status and r1.niterations == r0.niterations
+        tr1 = tk.kron_residual_dense(op, r1.x, np.asarray(b))
+        assert abs(tr1 - tr0) < 1e-10, (comm, tr0, tr1)
+    # full storage: the (d, K, n) basis itself shards over 'mode'
+    rf = tk.solve_deflated(op, b, cfg, m=6, storage="full", mesh=mesh)
+    trf = tk.kron_residual_dense(op, rf.x, np.asarray(b))
+    assert abs(trf - tr0) < 1e-10
