@@ -20,6 +20,8 @@ from .models.gallery import (
     laplace,
     reaction_diffusion,
     operator_from_dense_factors,
+    operator_from_ragged_factors,
+    pad_ragged_rhs,
     rand_spd,
 )
 from .utils.cp import (
@@ -63,6 +65,8 @@ __all__ = [
     "eigval_matrix",
     "rand_spd",
     "operator_from_dense_factors",
+    "operator_from_ragged_factors",
+    "pad_ragged_rhs",
     "cp_full",
     "cp_norm",
     "cp_dot",

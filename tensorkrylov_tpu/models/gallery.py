@@ -24,6 +24,8 @@ __all__ = [
     "dense_to_bands",
     "bands_to_dense",
     "operator_from_dense_factors",
+    "operator_from_ragged_factors",
+    "pad_ragged_rhs",
     "operator_from_scipy",
 ]
 
@@ -172,6 +174,15 @@ def bands_to_dense(op: KroneckerSumOperator) -> np.ndarray:
 
 
 def operator_from_dense_factors(mats, symmetric: bool, dtype=jnp.float64) -> KroneckerSumOperator:
+    if isinstance(mats, (list, tuple)):
+        shapes = {np.asarray(A).shape for A in mats}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"factors have different sizes {sorted(shapes)}; use "
+                "operator_from_ragged_factors (pad-to-max, exact) for "
+                "per-mode dimensions"
+            )
+        mats = np.stack([np.asarray(A, np.float64) for A in mats])
     bands, offsets = dense_to_bands(np.asarray(mats, dtype=np.float64))
     return KroneckerSumOperator(jnp.asarray(bands, dtype=dtype), offsets, symmetric)
 
@@ -183,6 +194,11 @@ def operator_from_scipy(factors, symmetric: bool, dtype=jnp.float64) -> Kronecke
     import scipy.sparse as sp
 
     mats = [sp.dia_matrix(A) for A in factors]
+    if len({A.shape for A in mats}) > 1:
+        raise ValueError(
+            f"scipy factors have different sizes {sorted({A.shape for A in mats})}; "
+            "use operator_from_ragged_factors (pad-to-max, exact)"
+        )
     n = mats[0].shape[0]
     offsets = sorted({int(o) for A in mats for o in A.offsets})
     bands = np.zeros((len(mats), len(offsets), n))
@@ -199,3 +215,55 @@ def operator_from_scipy(factors, symmetric: bool, dtype=jnp.float64) -> Kronecke
             else:
                 bands[s, b, -off:] = row[: length]
     return KroneckerSumOperator(jnp.asarray(bands, dtype=dtype), tuple(offsets), symmetric)
+
+
+def operator_from_ragged_factors(factors, symmetric: bool, dtype=jnp.float64):
+    """Build an operator from factors of DIFFERENT sizes n_s (the reference's
+    factor list admits arbitrary per-mode sizes,
+    /root/reference/src/tensor_struct.jl:168-231; the stacked (d, nb, n)
+    layout needs equal n — this is the pad-to-max bridge).
+
+    Construction (exact, not approximate): factor A_s is embedded as the
+    leading block of an n_max-sized block-diagonal matrix
+    blockdiag(A_s, c_s·I), c_s = A_s[0, 0]. With the RHS padded by ZEROS
+    (`pad_ragged_rhs`), the Krylov recurrences, the projected algebra and
+    the solution never touch the pad block (it is invariant and b has no
+    component there), so the padded solve IS the ragged solve; solution
+    factor rows ≥ n_s are identically zero. The pad constant is a diagonal
+    entry of A_s — a Rayleigh quotient, hence inside [λ_min(A_s),
+    λ_max(A_s)] — so the padded spectrum has the SAME extremes: Gershgorin
+    bounds, deflation intervals and exp-sum coefficient selection stay
+    valid.
+
+    Returns (op, sizes) with sizes the tuple of true per-mode dimensions.
+    """
+    mats = [np.asarray(A, np.float64) for A in factors]
+    for s, A in enumerate(mats):
+        if A.ndim != 2 or A.shape[0] != A.shape[1]:
+            raise ValueError(f"factor {s} is not square: {A.shape}")
+    sizes = tuple(A.shape[0] for A in mats)
+    n_max = max(sizes)
+    padded = np.zeros((len(mats), n_max, n_max))
+    for s, A in enumerate(mats):
+        ns = sizes[s]
+        padded[s, :ns, :ns] = A
+        if ns < n_max:
+            padded[s, range(ns, n_max), range(ns, n_max)] = A[0, 0]
+    return (
+        operator_from_dense_factors(padded, symmetric=symmetric, dtype=dtype),
+        sizes,
+    )
+
+
+def pad_ragged_rhs(b_factors, n_max: Optional[int] = None, dtype=jnp.float64):
+    """Stack per-mode RHS vectors of different lengths into the (d, n_max)
+    layout by zero-padding (the exactness condition of
+    operator_from_ragged_factors)."""
+    vecs = [np.asarray(v, np.float64).ravel() for v in b_factors]
+    n_max = n_max or max(v.size for v in vecs)
+    out = np.zeros((len(vecs), n_max))
+    for s, v in enumerate(vecs):
+        if v.size > n_max:
+            raise ValueError(f"rhs factor {s} longer than n_max: {v.size} > {n_max}")
+        out[s, : v.size] = v
+    return jnp.asarray(out, dtype)
