@@ -51,7 +51,8 @@ def test_ragged_solve_matches_dense_oracle():
     # such component decays with the residual)
     xf = np.asarray(res.x.factors)
     for s, ns in enumerate(sizes):
-        assert np.abs(xf[s, ns:, :]).max() < 1e-14
+        if ns < xf.shape[1]:
+            assert np.abs(xf[s, ns:, :]).max() < 1e-14
     # restrict to the true prefixes and compare against the ragged oracle
     x_cp = np.zeros_like(x_exact)
     w = np.asarray(res.x.weights)
