@@ -45,6 +45,10 @@ def main():
     p.add_argument("--log2n", type=int, default=20)
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--weak-scaling", action="store_true", help="weak-scaling efficiency sweep over 1..all devices")
+    p.add_argument("--comm", default="gspmd", choices=["gspmd", "ring"],
+                   help="sharded SpMV lowering: GSPMD-inferred collectives or "
+                        "the explicit overlapped shard_map+ppermute halo path")
+    p.add_argument("--out", default=None, help="write the sweep to this JSON file")
     args = p.parse_args()
 
     import jax
@@ -89,6 +93,9 @@ def weak_scaling(args, jax, jnp, tk, spmv):
     On a pod this measures real ICI halo overlap; on the CPU backend (8
     virtual devices) it validates the protocol and the collective layout.
     """
+    import dataclasses
+    import json
+
     import numpy as np
 
     from tensorkrylov_tpu.parallel import make_mesh, shard_operator, shard_rhs
@@ -104,8 +111,10 @@ def weak_scaling(args, jax, jnp, tk, spmv):
             np.random.default_rng(0).standard_normal((d, n)), jnp.float32
         )
         mesh = make_mesh(D)
-        gs = measure(spmv, shard_operator(op, mesh), shard_rhs(v, mesh),
-                     args.iters, jax, jnp)
+        op_s = shard_operator(op, mesh)
+        if args.comm == "ring" and D > 1:
+            op_s = dataclasses.replace(op_s, halo=(mesh, "mode", None))
+        gs = measure(spmv, op_s, shard_rhs(v, mesh), args.iters, jax, jnp)
         if base is None:
             base = gs
         eff = gs / (base * D)
@@ -113,6 +122,21 @@ def weak_scaling(args, jax, jnp, tk, spmv):
         print(f"weak-scaling D={D}: n={n} {gs/1e9:.1f} Gnnz/s "
               f"(eff {eff*100:.0f}%)", flush=True)
         D *= 2
+    if args.out:
+        payload = {
+            "protocol": "weak-scaling: rows/device fixed at 2^log2n, problem "
+                        "grows with D; efficiency = nnz/s / (D * 1-device nnz/s)",
+            "backend": jax.default_backend(),
+            "comm": args.comm,
+            "d": d, "log2n_per_device": args.log2n, "iters": args.iters,
+            "results": {
+                str(D): {"nnz_per_s": g, "efficiency": e}
+                for D, (g, e) in results.items()
+            },
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print("saved", args.out, flush=True)
     return results
 
 

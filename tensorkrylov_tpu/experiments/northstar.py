@@ -82,10 +82,27 @@ def main():
     cfg = tk.SolverConfig(kmax=args.kmax, tol=args.tol, orth=args.orth,
                           eigh_impl=args.eigh_impl)
     t_solve0 = time.perf_counter()
-    res = tk.solve_deflated(op, b, cfg, basis=basis, certify=not args.no_certify,
+    # certify OUTSIDE the solve (guarded below): the cross-check pulls the
+    # solution to host, and a device/tunnel fault there must not lose the run
+    res = tk.solve_deflated(op, b, cfg, basis=basis, certify=False,
                             checkpoints=args.checkpoints)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
+    cross = cross_err = None
+    if not args.no_certify:
+        try:
+            from tensorkrylov_tpu.utils.cp import cp_residual_cross_check
+
+            cross = cp_residual_cross_check(op, res.x, b)
+        except Exception as e:  # noqa: BLE001 — record, don't lose the solve
+            cross_err = f"{type(e).__name__}: {e}"
+            print("cross-check failed (artifact keeps solve evidence):",
+                  cross_err, flush=True)
+    import dataclasses as _dc
+    if cross is not None:
+        b_norm_host = float(np.prod(np.linalg.norm(np.asarray(b), axis=1)))
+        res = _dc.replace(res, measured_cp_residual=cross.value / b_norm_host,
+                          cp_residual_floor=cross.floor / b_norm_host)
 
     print(f"status={res.status} k={res.niterations} (+{args.m} deflated) "
           f"rank={res.expsum_rank}", flush=True)
@@ -155,6 +172,7 @@ def main():
             "orthogonality_drift": res.orthogonality_drift,
             "pass2_gram_max": res.pass2_gram_max,
             "pass2_beta_rel_dev": res.pass2_beta_rel_dev,
+            "cross_check_error": cross_err,
         },
         "timing": {
             "backend": jax.default_backend(),

@@ -24,6 +24,8 @@ __all__ = [
     "cp_dot_accurate",
     "cp_norm_accurate",
     "cp_residual_cross_check",
+    "cp_residual_cross_check_host",
+    "host_spmv_bands",
     "ResidualCrossCheck",
     "cp_full",
     "cp_compress",
@@ -106,6 +108,40 @@ class ResidualCrossCheck(NamedTuple):
         return f"{self.value:.3e} (floor {self.floor:.3e})"
 
 
+def host_spmv_bands(bands: np.ndarray, offsets, V: np.ndarray) -> np.ndarray:
+    """Numpy twin of ops.banded.spmv for (d, n, t) column blocks: out[s,:,j]
+    = A_s V[s,:,j]. Pure host — used by the certificate cross-check so the
+    flagship certify path touches the device not at all."""
+    d, nb, n = bands.shape
+    out = np.zeros_like(V)
+    for bidx, off in enumerate(offsets):
+        col = bands[:, bidx, :]                                # (d, n)
+        if off == 0:
+            out += col[:, :, None] * V
+        elif off > 0:
+            out[:, : n - off, :] += col[:, : n - off, None] * V[:, off:, :]
+        else:
+            out[:, -off:, :] += col[:, -off:, None] * V[:, : n + off, :]
+    return out
+
+
+def cp_residual_cross_check_host(
+    bands: np.ndarray, offsets, weights: np.ndarray, factors: np.ndarray,
+    b: np.ndarray,
+) -> ResidualCrossCheck:
+    """Pure-numpy core of cp_residual_cross_check (all inputs host arrays)."""
+    X = np.asarray(factors, np.float64)
+    d, n, t = X.shape
+    b = np.asarray(b, np.float64)
+    bands = np.asarray(bands, np.float64)
+    AX = host_spmv_bands(bands, offsets, X)
+    C_np = np.concatenate([b[:, :, None], X, AX], axis=2)     # (d, n, 1+2t)
+    G_small = np.einsum("dni,dnj->dij", C_np, C_np).astype(
+        np.longdouble
+    )                                                          # (d, 1+2t, 1+2t)
+    return _cross_check_from_gram(G_small, np.asarray(weights, np.float64), d, t)
+
+
 def cp_residual_cross_check(op, x: CPTensor, b) -> ResidualCrossCheck:
     """‖b − A x‖ with a validity floor, without materializing the
     rank-(1+d·t) residual.
@@ -113,28 +149,26 @@ def cp_residual_cross_check(op, x: CPTensor, b) -> ResidualCrossCheck:
     Mathematically identical to cp_norm_accurate(cp_residual(op, x, b)) but
     memory-bounded: the residual's mode-s factor matrix has only 1+2t
     DISTINCT columns ([b_s | X_s | A_s X_s]); its (1+d·t)² Gram matrix is an
-    indexed view of the (1+2t)² Gram of those columns. Device work is one
-    batched SpMV per call (O(d·n·t) HBM instead of O(d·n·d·t) — 6.6 GB →
-    130 MB at the flagship size). The (1+2t)² Gram itself is computed ON
-    HOST with numpy (LAPACK-grade f64): on TPU the f64 einsum is software-
-    emulated and was measured to inflate the cross-check by ~6 decades
-    (the 1.2e-3 reading in the r2 n=8192 artifact). The cancellative
-    rank-pair contraction runs in host longdouble exactly as
-    cp_dot_accurate. Same role as the reference's Lemma-3.4 Gram masking
+    indexed view of the (1+2t)² Gram of those columns. The ENTIRE check runs
+    on host (numpy): the TPU f64 einsum is software-emulated and was
+    measured to inflate the cross-check by ~6 decades (the 1.2e-3 reading
+    in the r2 n=8192 artifact), the batched emulated Gram OOMs at flagship
+    shape, and a single >1 GB device→host pull crashes this machine's
+    tunneled worker — so only the solution factors are transferred,
+    per-mode (≤ ~50 MB each at flagship size). The cancellative rank-pair
+    contraction runs in host longdouble exactly as cp_dot_accurate. Same
+    role as the reference's Lemma-3.4 Gram masking
     (/root/reference/src/utils.jl:255-324), applied to the full-space
     residual."""
-    from ..ops.banded import spmv
+    d = x.factors.shape[0]
+    X = np.stack([np.asarray(x.factors[s], np.float64) for s in range(d)])
+    return cp_residual_cross_check_host(
+        np.asarray(op.bands, np.float64), op.offsets,
+        np.asarray(x.weights, np.float64), X, np.asarray(b, np.float64),
+    )
 
-    X = x.factors.astype(jnp.float64)
-    d, n, t = X.shape
-    b = jnp.asarray(b, jnp.float64)
-    AX = jnp.swapaxes(spmv(op.astype(jnp.float64), jnp.swapaxes(X, 1, 2)), 1, 2)
-    C = jnp.concatenate([b[:, :, None], X, AX], axis=2)       # (d, n, 1+2t)
-    C_np = np.asarray(C, np.float64)
-    G_small = np.einsum("dni,dnj->dij", C_np, C_np).astype(
-        np.longdouble
-    )                                                          # (d, 1+2t, 1+2t)
 
+def _cross_check_from_gram(G_small, weights, d: int, t: int) -> ResidualCrossCheck:
     # column map of the full residual factor matrix, per mode s:
     # col 0 = b_s; col 1+s'·t+j = (A_s X_s)[:, j] if s' == s else X_s[:, j]
     sp = np.repeat(np.arange(d), t)                            # group of col
@@ -145,7 +179,7 @@ def cp_residual_cross_check(op, x: CPTensor, b) -> ResidualCrossCheck:
         idx[s, 1:] = np.where(sp == s, 1 + t + jj, 1 + jj)
     # weights: r = 1·b − Σ_{s',j} w_j · (A applied in mode s')
     w = np.concatenate(
-        [[1.0], -np.tile(np.asarray(x.weights, np.float64), d)]
+        [[1.0], -np.tile(weights, d)]
     ).astype(np.longdouble)
 
     P = np.ones((1 + d * t, 1 + d * t), np.longdouble)
