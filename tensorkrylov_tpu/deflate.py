@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -705,6 +706,7 @@ def solve_deflated(
     storage: str = "auto",
     mesh=None,
     comm: str = "gspmd",
+    state_cache: Optional[str] = None,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -731,6 +733,15 @@ def solve_deflated(
     comm: 'gspmd' (XLA chooses collectives from the shardings) or 'ring'
     (every SpMV runs the explicit shard_map + ppermute halo path,
     parallel/halo.py). SURVEY.md §2.14.2; BASELINE.json config 5.
+
+    state_cache (storage='twopass' only): path to an .npz where the
+    recurrence state (the tridiagonal + the two live vectors — ~45 MB at
+    flagship size) is persisted after every completed checkpoint segment,
+    and resumed from on the next call with matching shapes. Built for this
+    machine's flaky tunneled TPU worker, which can die mid-run: a crashed
+    flagship solve restarts from its last checkpoint instead of step 0
+    (reference analogue: experiment persistence,
+    /root/reference/experiments/experiment_common.jl:115-143).
     """
     config = config or SolverConfig()
     b = jnp.asarray(b)
@@ -861,19 +872,50 @@ def solve_deflated(
     status = int(Status.MAXITER)
     k_prev, k_done = 1, 0
     Yu = Yv = weights = None
-    for ck in checkpoints:
-        if storage == "full":
-            state = _advance(
-                op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
-                jnp.asarray(ck + 1, jnp.int32), reorth=reorth,
-                reorth_tol=config.reorth_tol,
+    if state_cache is not None and storage != "twopass":
+        raise ValueError("state_cache requires storage='twopass'")
+    if state_cache is not None and os.path.exists(state_cache):
+        z = np.load(state_cache)
+        if z["od"].shape == (op.d, kmax + 1) and z["vp"].shape == (op.d, op.n):
+            state = _LightState(
+                *(jnp.asarray(z[f], pdt)
+                  for f in ("dg", "od", "btil", "vp", "vpp", "beta"))
             )
+            k_prev = int(z["k_prev"])
         else:
-            state = _advance_light(
-                op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
-                jnp.asarray(ck + 1, jnp.int32),
+            raise ValueError(
+                f"state_cache {state_cache} shape mismatch: "
+                f"{z['od'].shape} vs {(op.d, kmax + 1)} — stale cache?"
             )
-        k_prev = ck + 1
+
+    def _save_state(st: _LightState, k_prev: int):
+        if state_cache is None:
+            return
+        tmp = state_cache + ".tmp.npz"
+        np.savez(
+            tmp,
+            dg=np.asarray(st.dg), od=np.asarray(st.od),
+            btil=np.asarray(st.btil), vp=np.asarray(st.vp),
+            vpp=np.asarray(st.vpp), beta=np.asarray(st.beta),
+            k_prev=np.asarray(k_prev),
+        )
+        os.replace(tmp, state_cache)
+
+    for ck in checkpoints:
+        if ck + 1 > k_prev:
+            if storage == "full":
+                state = _advance(
+                    op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
+                    jnp.asarray(ck + 1, jnp.int32), reorth=reorth,
+                    reorth_tol=config.reorth_tol,
+                )
+            else:
+                state = _advance_light(
+                    op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
+                    jnp.asarray(ck + 1, jnp.int32),
+                )
+            k_prev = ck + 1
+            _save_state(state, k_prev) if storage == "twopass" else None
         if eigh_impl == "host":
             rel, brs, Yu, Yv, weights = _evaluate_host(
                 np.asarray(state.dg), np.asarray(state.od),

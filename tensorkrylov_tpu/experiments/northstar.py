@@ -42,6 +42,9 @@ def main():
     p.add_argument("--checkpoints", type=int, nargs="+", default=None,
                    help="explicit certificate checkpoints (default: geometric from 32)")
     p.add_argument("--no-certify", action="store_true")
+    p.add_argument("--state-cache", default="auto",
+                   help="npz path for crash-resumable recurrence state "
+                        "('auto' = /tmp keyed by n/m/kmax; 'none' disables)")
     p.add_argument("--basis-cache", default=None,
                    help="npz path to save/load the deflation basis (default: /tmp, keyed by n/m/sigma)")
     p.add_argument("--out", default=None)
@@ -84,8 +87,18 @@ def main():
     t_solve0 = time.perf_counter()
     # certify OUTSIDE the solve (guarded below): the cross-check pulls the
     # solution to host, and a device/tunnel fault there must not lose the run
+    state_cache = args.state_cache
+    if state_cache == "auto":
+        state_cache = f"/tmp/tk_ns_state_n{args.n}_m{args.m}_k{args.kmax}.npz"
+    elif state_cache == "none":
+        state_cache = None
+    if state_cache:
+        print("state cache:", state_cache,
+              "(resuming)" if os.path.exists(state_cache) else "(fresh)",
+              flush=True)
     res = tk.solve_deflated(op, b, cfg, basis=basis, certify=False,
-                            checkpoints=args.checkpoints)
+                            checkpoints=args.checkpoints,
+                            state_cache=state_cache)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
     cross = cross_err = None

@@ -85,6 +85,7 @@ def test_deflation_basis_toeplitz_analytic_branches():
     np.testing.assert_allclose(np.asarray(basis.lam)[0], w[:m], rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_host_evaluate_matches_device():
     """eigh_impl='host' (numpy/longdouble checkpoint algebra) must agree
     with the device evaluate: bounds tightly, estimates up to the f64
@@ -157,6 +158,7 @@ def test_deflated_solve_distinct_factors():
     assert true_r <= res.certified_bound[-1] + 1e-14
 
 
+@pytest.mark.slow
 def test_deflation_reduces_iterations():
     """The point of deflation: fewer Krylov steps to the same certificate on
     a stiff (large-κ) problem."""
@@ -184,8 +186,8 @@ def test_deflated_basis_stays_U_orthogonal():
     pdt = jnp.float64
     c = jnp.einsum("nm,dn->dm", U[0].astype(pdt), b.astype(pdt))
     b_perp = b.astype(pdt) - jnp.einsum("nm,dm->dn", U[0].astype(pdt), c)
-    state, _ = init_state(op, b_perp, 20, pdt)
-    for k in range(1, 21):
+    state, _ = init_state(op, b_perp, 8, pdt)
+    for k in range(1, 9):
         state, _ = lanczos_step(
             op, state, b_perp, k, reorth=False, proj_dtype=pdt, deflate_U=U
         )
@@ -218,6 +220,7 @@ def test_deflated_input_validation():
         tk.deflation_basis(ops, 16)
 
 
+@pytest.mark.slow
 def test_twopass_storage_matches_full():
     """storage='twopass' (basis-free; pass-2 replay accumulation) must
     reproduce the stored-basis solve essentially exactly."""
@@ -272,6 +275,7 @@ def test_advance_reorth_always_orthogonalizes():
     assert grams["always"] < grams["never"] / 10.0
 
 
+@pytest.mark.slow
 def test_deflated_solve_b_in_span_U():
     """b_s entirely inside span(U_s) (zero deflated complement) must not
     poison the state with NaN — the factor's recurrence freezes at zero and

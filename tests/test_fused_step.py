@@ -105,6 +105,7 @@ def test_fused_falls_back_on_f64():
     np.testing.assert_array_equal(np.asarray(st_f.V), np.asarray(st_x.V))
 
 
+@pytest.mark.slow
 def test_twopass_fused_recurrence_matches(interpret_mode):
     from tensorkrylov_tpu.twopass import _recurrence_step
 

@@ -72,6 +72,7 @@ def test_residual_terms_vs_dense(rng, sym):
     )
 
 
+@pytest.mark.slow
 def test_boundary_terms_vs_dense(rng):
     """Boundary = Σ_s h_s² · ‖y at index k-1 in mode s‖² (Lemma 3.4,
     /root/reference/src/utils.jl:402-443)."""

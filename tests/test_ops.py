@@ -222,6 +222,7 @@ def test_cp_solve_nonsym_columns():
             np.testing.assert_allclose(Y[s, :k, j], oracle, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_standalone_algorithm_drivers():
     """Single-matrix batch drivers (reference test/decompositions.jl:4-19
     pattern: long single-factor recurrences stay orthonormal)."""
@@ -258,6 +259,7 @@ def test_laplace_eigenvectors_analytic():
     assert np.linalg.norm(resid) < 1e-6
 
 
+@pytest.mark.slow
 def test_nonsym_eig_matches_expm_projected_solve():
     """cp_solve_nonsym_eig (one complex eig + diagonal scalings) must match
     the expm-chain path on the oracle problem to near-f64."""

@@ -36,6 +36,7 @@ def test_ring_spmv_matches_xla(gallery, seed):
     np.testing.assert_allclose(out, ref, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_spmv_wide_band():
     """Offsets beyond the gallery stencils (|off| up to 7)."""
     n = 8 * 128

@@ -96,6 +96,7 @@ def test_ring_solve_matches_gspmd(mesh8):
     assert tk.kron_residual_dense(op, r_r.x, np.asarray(b)) < 1e-8
 
 
+@pytest.mark.slow
 def test_halo_spmv_batched_columns(mesh8):
     """(d, m, n) batched-column SpMV through the halo path (the shape
     kron_apply_cp and the block solver use)."""
@@ -112,6 +113,7 @@ def test_halo_spmv_batched_columns(mesh8):
     np.testing.assert_allclose(out, ref, rtol=1e-13)
 
 
+@pytest.mark.slow
 def test_solve_deflated_sharded_matches_single_device():
     """Mode-sharded deflated solve (GSPMD and explicit ring-halo) must match
     the single-device result to roundoff, for both storage modes

@@ -111,6 +111,7 @@ def test_input_validation():
         tk.solve(tk.conv_diff(2, 10), jnp.ones((2, 10)))  # nonsym needs arnoldi
 
 
+@pytest.mark.slow
 def test_multi_rhs_rank2():
     """Rank-2 tensor-product RHS via batched solves (capability beyond the
     reference)."""
