@@ -232,6 +232,9 @@ class DeflatedResult:
     # |⟨v_k, probe⟩| max, and the replayed-vs-recorded β deviation
     pass2_gram_max: Optional[float] = None
     pass2_beta_rel_dev: Optional[float] = None
+    # max measured pre-projection U-leak max|Uᵀu|/‖u‖ (evidence for
+    # project_every > 1; always measured on the twopass path)
+    projection_leak: Optional[float] = None
 
     @property
     def converged(self):
@@ -370,10 +373,38 @@ class _LightState(NamedTuple):
     vp: jax.Array    # (d, n)
     vpp: jax.Array   # (d, n)
     beta: jax.Array  # (d,)
+    leak: jax.Array  # () max measured pre-projection U-leak max|Uᵀu|/‖u‖
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
-def _advance_light(op, state: _LightState, b_perp, U, k0, k1):
+def _project_with_leak(u, U, pdt):
+    """deflation_project + the free leak telemetry max_s ‖U_sᵀ u_s‖∞/‖u_s‖."""
+    Ua = U.astype(pdt)
+    if Ua.shape[0] == 1:
+        w = jnp.einsum("nm,dn->dm", Ua[0], u, preferred_element_type=pdt)
+        out = u - jnp.einsum("nm,dm->dn", Ua[0], w, preferred_element_type=pdt)
+    else:
+        w = jnp.einsum("snm,sn->sm", Ua, u, preferred_element_type=pdt)
+        out = u - jnp.einsum("snm,sm->sn", Ua, w, preferred_element_type=pdt)
+    un = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt))
+    leak = jnp.max(jnp.max(jnp.abs(w), axis=1) / (un + 1e-300))
+    return out, leak
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(1,), static_argnames=("project_every",)
+)
+def _advance_light(op, state: _LightState, b_perp, U, k0, k1,
+                   project_every: int = 1):
+    """project_every > 1 runs the (dominant, O(n·m)) U-projection GEMM only
+    on steps k ≡ 0 (mod project_every). Mathematically the recurrence on
+    P A P with start P b stays in the U-complement; the per-step projection
+    is pure drift control. Between projections the leaked component of a
+    deflated eigenvector λ_j < λ_{m+1} is amplified per step by at most
+    ~(1 + 2√(λ_{m+1}/λ_max)) (the out-of-interval growth rate of the Lanczos
+    polynomial), so for the flagship spectrum a stride of 16–64 keeps the
+    leak at the eps·10¹-level while cutting the step cost by ~stride. The
+    measured pre-projection leak (max|Uᵀu|/‖u‖) is carried in the state —
+    evidence, not assumption."""
     from .ops.banded import spmv
 
     pdt = state.vp.dtype
@@ -382,7 +413,16 @@ def _advance_light(op, state: _LightState, b_perp, U, k0, k1):
         u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
         alpha = jnp.einsum("dn,dn->d", u, st.vp, preferred_element_type=pdt)
         u = u - alpha[:, None] * st.vp
-        u = deflation_project(u, U, pdt)
+        if project_every > 1:
+            u, leak = lax.cond(
+                k % project_every == 0,
+                lambda u: _project_with_leak(u, U, pdt),
+                lambda u: (u, jnp.zeros((), pdt)),
+                u,
+            )
+        else:
+            u, leak = _project_with_leak(u, U, pdt)
+        leak = jnp.maximum(st.leak, leak)
         beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt)
         ub = jnp.einsum("dn,dn->d", u, b_perp, preferred_element_type=pdt)
         beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
@@ -394,7 +434,7 @@ def _advance_light(op, state: _LightState, b_perp, U, k0, k1):
         dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
         od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
         btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
-        return _LightState(dg, od, btil, v_new, st.vp, beta_new)
+        return _LightState(dg, od, btil, v_new, st.vp, beta_new, leak)
 
     return lax.fori_loop(k0, k1, body, state)
 
@@ -416,8 +456,11 @@ class Pass2Audit(NamedTuple):
     beta_rel_dev: jax.Array
 
 
-@functools.partial(jax.jit, donate_argnums=(), static_argnames=("n_probes",))
-def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0):
+@functools.partial(
+    jax.jit, donate_argnums=(), static_argnames=("n_probes", "project_every")
+)
+def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0,
+                      project_every: int = 1):
     """Second pass: rerun the recurrence (deterministic — same jitted ops in
     the same order) and accumulate the solution's V-part on the fly:
     X[s, :, j] = Σ_k v_k[s] · Yv[s, k, j]. Carry = two vectors + the (d, n,
@@ -460,7 +503,17 @@ def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0):
         u = spmv(op, vp) - beta[:, None] * vpp
         alpha = jnp.einsum("dn,dn->d", u, vp, preferred_element_type=pdt)
         u = u - alpha[:, None] * vp
-        u = deflation_project(u, U, pdt)
+        # replay the EXACT pass-1 projection schedule (same k ⇒ same branch
+        # ⇒ identical op sequence ⇒ identical rounding)
+        if project_every > 1:
+            u = lax.cond(
+                k % project_every == 0,
+                lambda u: deflation_project(u, U, pdt),
+                lambda u: u,
+                u,
+            )
+        else:
+            u = deflation_project(u, U, pdt)
         zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
         beta_new = lax.dynamic_slice(od, (zero, k), (d, 1))[:, 0]
         safe = jnp.where(beta_new > 0, beta_new, 1.0)
@@ -707,6 +760,7 @@ def solve_deflated(
     mesh=None,
     comm: str = "gspmd",
     state_cache: Optional[str] = None,
+    project_every: int = 1,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -742,6 +796,11 @@ def solve_deflated(
     flagship solve restarts from its last checkpoint instead of step 0
     (reference analogue: experiment persistence,
     /root/reference/experiments/experiment_common.jl:115-143).
+
+    project_every (storage='twopass'): run the U-projection every p-th step
+    only (see _advance_light — the projection GEMM dominates the flagship
+    step; drift control does not need it every step). The measured
+    pre-projection leak is returned as DeflatedResult.projection_leak.
     """
     config = config or SolverConfig()
     b = jnp.asarray(b)
@@ -864,6 +923,7 @@ def solve_deflated(
             v0,
             jnp.zeros_like(v0),
             jnp.zeros((d_,), pdt),
+            jnp.zeros((), pdt),
         )
     del b_perp_np, c_np, U_np, b_np
 
@@ -874,12 +934,15 @@ def solve_deflated(
     Yu = Yv = weights = None
     if state_cache is not None and storage != "twopass":
         raise ValueError("state_cache requires storage='twopass'")
+    if project_every != 1 and storage != "twopass":
+        raise ValueError("project_every requires storage='twopass'")
     if state_cache is not None and os.path.exists(state_cache):
         z = np.load(state_cache)
         if z["od"].shape == (op.d, kmax + 1) and z["vp"].shape == (op.d, op.n):
             state = _LightState(
                 *(jnp.asarray(z[f], pdt)
-                  for f in ("dg", "od", "btil", "vp", "vpp", "beta"))
+                  for f in ("dg", "od", "btil", "vp", "vpp", "beta")),
+                jnp.asarray(float(z["leak"]) if "leak" in z else 0.0, pdt),
             )
             k_prev = int(z["k_prev"])
         else:
@@ -897,7 +960,7 @@ def solve_deflated(
             dg=np.asarray(st.dg), od=np.asarray(st.od),
             btil=np.asarray(st.btil), vp=np.asarray(st.vp),
             vpp=np.asarray(st.vpp), beta=np.asarray(st.beta),
-            k_prev=np.asarray(k_prev),
+            k_prev=np.asarray(k_prev), leak=np.asarray(st.leak),
         )
         os.replace(tmp, state_cache)
 
@@ -913,6 +976,7 @@ def solve_deflated(
                 state = _advance_light(
                     op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
                     jnp.asarray(ck + 1, jnp.int32),
+                    project_every=project_every,
                 )
             k_prev = ck + 1
             _save_state(state, k_prev) if storage == "twopass" else None
@@ -956,9 +1020,11 @@ def solve_deflated(
             op_c, b_perp, U, state.od, Yv * mask,
             jnp.asarray(k_done - 1, jnp.int32),
             n_probes=min(16, max(k_done - 1, 1)),
+            project_every=project_every,
         )
         xf = _u_lift(U, Yu) + X
     x = CPTensor(weights, xf)
+    leak_val = float(state.leak) if hasattr(state, "leak") else None
     btil_np = np.asarray(state.btil)
     kk = np.arange(btil_np.shape[1])
     live = (kk >= 1) & (kk <= k_done)
@@ -991,4 +1057,7 @@ def solve_deflated(
         cp_residual_floor=measured_floor,
         pass2_gram_max=None if audit is None else float(audit.gram_max),
         pass2_beta_rel_dev=None if audit is None else float(audit.beta_rel_dev),
+        projection_leak=(
+            float(leak_val) if leak_val is not None else None
+        ),
     )

@@ -42,6 +42,9 @@ def main():
     p.add_argument("--checkpoints", type=int, nargs="+", default=None,
                    help="explicit certificate checkpoints (default: geometric from 32)")
     p.add_argument("--no-certify", action="store_true")
+    p.add_argument("--project-every", type=int, default=1,
+                   help="run the U-projection GEMM every p-th Lanczos step "
+                        "(twopass storage; leak is measured and recorded)")
     p.add_argument("--state-cache", default="auto",
                    help="npz path for crash-resumable recurrence state "
                         "('auto' = /tmp keyed by n/m/kmax; 'none' disables)")
@@ -98,7 +101,8 @@ def main():
               flush=True)
     res = tk.solve_deflated(op, b, cfg, basis=basis, certify=False,
                             checkpoints=args.checkpoints,
-                            state_cache=state_cache)
+                            state_cache=state_cache,
+                            project_every=args.project_every)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
     cross = cross_err = None
@@ -124,6 +128,9 @@ def main():
     print("cert bound :", [f"{r:.3e}" for r in res.certified_bound], flush=True)
     print(f"exp-sum sup: {res.expsum_sup:.3e}", flush=True)
     print(f"orthogonality drift max|<v_k,v_0>|: {res.orthogonality_drift:.3e}", flush=True)
+    if res.projection_leak is not None:
+        print(f"projection leak max|U^T u|/|u|: {res.projection_leak:.3e} "
+              f"(project_every={args.project_every})", flush=True)
     if res.pass2_gram_max is not None:
         print(f"pass-2 audit: sampled pairwise gram max {res.pass2_gram_max:.3e}, "
               f"replayed-beta rel dev {res.pass2_beta_rel_dev:.3e}", flush=True)
@@ -163,6 +170,7 @@ def main():
             "storage_resolved": (
                 "twopass" if jax.default_backend() == "tpu" else "full"
             ),
+            "project_every": args.project_every,
             "checkpoints_requested": args.checkpoints,
         },
         "result": {
@@ -186,6 +194,7 @@ def main():
             "pass2_gram_max": res.pass2_gram_max,
             "pass2_beta_rel_dev": res.pass2_beta_rel_dev,
             "cross_check_error": cross_err,
+            "projection_leak": res.projection_leak,
         },
         "timing": {
             "backend": jax.default_backend(),

@@ -371,3 +371,22 @@ def test_tridiag_parts_plus_band_only():
     bad[0, 1, 1:] = e; bad[0, 2, :-1] = 2.0 * e
     with pytest.raises(ValueError, match="disagree"):
         _tridiag_parts(bad, (0, -1, 1))
+
+
+def test_project_every_stride_matches_per_step():
+    """Strided U-projection (the flagship TPU step-cost optimization) must
+    reproduce the per-step-projected solve and keep the measured U-leak at
+    the amplified-roundoff level."""
+    op = tk.laplace(2, 64, shift=30.0)
+    b = tk.random_rhs(2, 64, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = tk.SolverConfig(kmax=32, tol=1e-12)
+    r1 = tk.solve_deflated(op, b, cfg, m=6, storage="twopass", project_every=1)
+    r8 = tk.solve_deflated(op, b, cfg, m=6, storage="twopass", project_every=8)
+    t1 = tk.kron_residual_dense(op, r1.x, np.asarray(b))
+    t8 = tk.kron_residual_dense(op, r8.x, np.asarray(b))
+    assert abs(t8 - t1) / max(t1, 1e-300) < 1e-4
+    assert r1.projection_leak < 1e-13          # per-step: pure roundoff
+    assert r8.projection_leak < 1e-8           # strided: amplified roundoff
+    with pytest.raises(ValueError, match="project_every"):
+        tk.solve_deflated(op, b, cfg, m=6, storage="full", project_every=4)
