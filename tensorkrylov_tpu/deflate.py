@@ -457,46 +457,25 @@ class Pass2Audit(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(), static_argnames=("n_probes", "project_every")
+    jax.jit, donate_argnums=(6,),
+    static_argnames=("n_probes", "project_every", "stride"),
 )
-def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0,
-                      project_every: int = 1):
-    """Second pass: rerun the recurrence (deterministic — same jitted ops in
-    the same order) and accumulate the solution's V-part on the fly:
-    X[s, :, j] = Σ_k v_k[s] · Yv[s, k, j]. Carry = two vectors + the (d, n,
-    t) accumulator; α/β need not be recomputed from dots — they are replayed
-    from the recorded tridiagonal, which also keeps the replayed v_k exactly
-    consistent with the T the projected solve used.
-
-    n_probes > 0 additionally runs the orthonormality/replay audit
-    (`Pass2Audit`): probe slots are filled every ceil(K/n_probes) steps and
-    every subsequent v_k is dotted against all filled probes.
-
-    Design lineage: twopass.py's basis-free storage (beyond the reference),
-    specialized to the deflated recurrence."""
+def _pass2_segment(op, b_perp, U, od, Yv, k0_k1, carry, n_probes: int = 0,
+                   project_every: int = 1, stride: int = 1):
+    """One jitted chunk of the pass-2 replay: steps k0..k1-1 over the carried
+    (X, vp, vpp, beta, audit) state. Chunking matters operationally on this
+    machine: a single monolithic fori_loop over the full flagship replay is
+    a multi-minute device call, and the tunneled TPU worker reliably dies on
+    those (r3 attempts 1–4 all crashed in/after pass-2) — the host-synced
+    segments mirror pass 1's checkpoint structure. Arithmetic per step is
+    identical to the monolithic version (same body, same k values)."""
     from .ops.banded import spmv
 
     pdt = b_perp.dtype
     d, n = b_perp.shape
-    K = od.shape[1]
     t = Yv.shape[2]
-    b_norms = jnp.linalg.norm(b_perp, axis=1)
-    v0 = b_perp / jnp.where(b_norms > 0, b_norms, 1.0)[:, None]
-
-    # dg is replayed implicitly: u − α v_p − β v_pp with α from the recorded
-    # diagonal would need dg too; instead recompute α by the same dot the
-    # first pass used (identical op sequence ⇒ identical rounding), and take
-    # β (the normalizer) from the recorded od — β is the one value where
-    # replay divergence would compound.
-    X0 = jnp.zeros((d, n, t), pdt)
-    Yv0 = Yv[:, 0, :]                                       # (d, t)
-    X0 = X0 + v0[:, :, None] * Yv0[:, None, :]
-
     np_ = max(int(n_probes), 0)
-    stride = max(1, -(-K // np_)) if np_ else 1             # ceil(K / n_probes)
-    probes0 = jnp.zeros((max(np_, 1), d, n), pdt)
-    audit0 = (probes0, jnp.zeros((), jnp.int32),
-              jnp.zeros((), pdt), jnp.zeros((), pdt))
+    k0, k1 = k0_k1
 
     def body(k, carry):
         X, vp, vpp, beta, (probes, filled, gmax, bdev) = carry
@@ -542,10 +521,52 @@ def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0,
             filled = filled + take.astype(jnp.int32)
         return (X, v_new, vp, beta_new, (probes, filled, gmax, bdev))
 
-    X, _, _, _, (probes, filled, gmax, bdev) = lax.fori_loop(
-        jnp.asarray(1, jnp.int32), k_done + 1, body,
-        (X0, v0, jnp.zeros_like(v0), jnp.zeros((d,), pdt), audit0),
-    )
+    return lax.fori_loop(k0, k1, body, carry)
+
+
+def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0,
+                      project_every: int = 1, segment: int = 256):
+    """Second pass (host-chunked): rerun the recurrence (deterministic — the
+    same jitted ops in the same order as pass 1) and accumulate the
+    solution's V-part on the fly: X[s,:,j] = Σ_k v_k[s]·Yv[s,k,j]. α is
+    recomputed by the same dot pass 1 used; β (the normalizer) is replayed
+    from the recorded od — the one value where divergence would compound.
+
+    n_probes > 0 additionally runs the orthonormality/replay audit
+    (`Pass2Audit`): probe slots are filled every ceil(K/n_probes) steps and
+    every subsequent v_k is dotted against all filled probes.
+
+    Design lineage: twopass.py's basis-free storage (beyond the reference),
+    specialized to the deflated recurrence."""
+    pdt = b_perp.dtype
+    d, n = b_perp.shape
+    K = od.shape[1]
+    b_norms = jnp.linalg.norm(b_perp, axis=1)
+    v0 = b_perp / jnp.where(b_norms > 0, b_norms, 1.0)[:, None]
+    t = Yv.shape[2]
+    X0 = jnp.zeros((d, n, t), pdt)
+    Yv0 = Yv[:, 0, :]                                       # (d, t)
+    X0 = X0 + v0[:, :, None] * Yv0[:, None, :]
+
+    np_ = max(int(n_probes), 0)
+    stride = max(1, -(-K // np_)) if np_ else 1             # ceil(K / n_probes)
+    probes0 = jnp.zeros((max(np_, 1), d, n), pdt)
+    carry = (X0, v0, jnp.zeros_like(v0), jnp.zeros((d,), pdt),
+             (probes0, jnp.zeros((), jnp.int32),
+              jnp.zeros((), pdt), jnp.zeros((), pdt)))
+
+    k_done_i = int(k_done)
+    k0 = 1
+    while k0 <= k_done_i:
+        k1 = min(k0 + segment, k_done_i + 1)
+        carry = _pass2_segment(
+            op, b_perp, U, od, Yv,
+            (jnp.asarray(k0, jnp.int32), jnp.asarray(k1, jnp.int32)),
+            carry, n_probes=np_, project_every=project_every, stride=stride,
+        )
+        jax.block_until_ready(carry[3])                      # host sync point
+        k0 = k1
+    X, _, _, _, (probes, filled, gmax, bdev) = carry
     return X, Pass2Audit(gmax, bdev)
 
 
@@ -761,6 +782,7 @@ def solve_deflated(
     comm: str = "gspmd",
     state_cache: Optional[str] = None,
     project_every: int = 1,
+    verbose: bool = False,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -999,6 +1021,9 @@ def solve_deflated(
         rel_hist.append(float(rel))
         bound_hist.append(sup_err + float(np.sqrt(max(float(brs), 0.0))))
         k_done = ck
+        if verbose:
+            print(f"  [solve_deflated] k={ck}: estimate {rel_hist[-1]:.3e}, "
+                  f"certified bound {bound_hist[-1]:.3e}", flush=True)
         if bound_hist[-1] < config.tol:
             status = int(Status.CONVERGED)
             break

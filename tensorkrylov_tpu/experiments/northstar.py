@@ -102,7 +102,8 @@ def main():
     res = tk.solve_deflated(op, b, cfg, basis=basis, certify=False,
                             checkpoints=args.checkpoints,
                             state_cache=state_cache,
-                            project_every=args.project_every)
+                            project_every=args.project_every,
+                            verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
     cross = cross_err = None
