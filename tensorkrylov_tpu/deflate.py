@@ -570,6 +570,79 @@ def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0,
     return X, Pass2Audit(gmax, bdev)
 
 
+def _pass2_host(bands, offsets, b_perp, U, od, Yv, k_done: int,
+                project_every: int = 1, n_probes: int = 16,
+                verbose: bool = False):
+    """Numpy twin of the pass-2 replay (device not touched at all).
+
+    The crash-proof endgame for this machine's flaky tunneled TPU worker:
+    pass 1 records the tridiagonal in ~minutes of well-behaved segmented
+    device work, and everything after — replay, solution accumulation,
+    audit, certificate — can run on host f64 (LAPACK-grade, arguably tighter
+    than the device's emulated f64). ~0.3 s/step at flagship size
+    (project_every=1; the U-GEMV dominates), /stride with strided
+    projection. Audit semantics identical to _pass2_segment."""
+    b_perp = np.asarray(b_perp, np.float64)
+    bands = np.asarray(bands, np.float64)
+    U = np.asarray(U, np.float64)
+    od = np.asarray(od, np.float64)
+    Yv = np.asarray(Yv, np.float64)
+    d, n = b_perp.shape
+    K = od.shape[1]
+    t = Yv.shape[2]
+    bn = np.linalg.norm(b_perp, axis=1)
+    v0 = b_perp / np.where(bn > 0, bn, 1.0)[:, None]
+    X = v0[:, :, None] * Yv[:, 0, :][:, None, :]
+    vp, vpp = v0, np.zeros_like(v0)
+    beta = np.zeros(d)
+    U0 = U[0] if U.shape[0] == 1 else None
+    stride = max(1, -(-K // n_probes)) if n_probes else 1
+    probes = np.zeros((0, d, n))
+    gmax = bdev = 0.0
+
+    def _spmv(v):
+        out = np.zeros_like(v)
+        for bidx, off in enumerate(offsets):
+            col = bands[:, bidx, :]
+            if off == 0:
+                out += col * v
+            elif off > 0:
+                out[:, : n - off] += col[:, : n - off] * v[:, off:]
+            else:
+                out[:, -off:] += col[:, -off:] * v[:, : n + off]
+        return out
+
+    for k in range(1, int(k_done) + 1):
+        u = _spmv(vp) - beta[:, None] * vpp
+        alpha = np.einsum("dn,dn->d", u, vp)
+        u -= alpha[:, None] * vp
+        if project_every == 1 or k % project_every == 0:
+            if U0 is not None:
+                w = u @ U0                                   # (d, m)
+                u -= w @ U0.T
+            else:
+                w = np.einsum("snm,sn->sm", U, u)
+                u -= np.einsum("snm,sm->sn", U, w)
+        beta_rec = od[:, k]
+        safe = np.where(beta_rec > 0, beta_rec, 1.0)
+        v_new = np.where(beta_rec[:, None] > 0, u / safe[:, None], 0.0)
+        X += v_new[:, :, None] * Yv[:, k, :][:, None, :]
+        if n_probes:
+            beta_replay = np.linalg.norm(u, axis=1)
+            bdev = max(bdev, float(np.max(np.where(
+                beta_rec > 0, np.abs(beta_replay - beta_rec) / safe, 0.0
+            ))))
+            if probes.shape[0]:
+                g = np.einsum("pdn,dn->pd", probes, v_new)
+                gmax = max(gmax, float(np.abs(g).max()))
+            if k % stride == 0 and probes.shape[0] < n_probes:
+                probes = np.concatenate([probes, v_new[None]], axis=0)
+        vp, vpp, beta = v_new, vp, beta_rec
+        if verbose and k % 256 == 0:
+            print(f"  [pass2-host] k={k}/{int(k_done)}", flush=True)
+    return X, Pass2Audit(np.float64(gmax), np.float64(bdev))
+
+
 def expsum_sup_error(omega, alpha, kappa: float, n_grid: int = 200_000) -> float:
     """sup_{x ∈ [1, κ]} |1 − x·Σ_j ω_j e^{−α_j x}| — the analytic relative-
     residual bound of the exponential-sum inverse, evaluated on host in
@@ -783,6 +856,7 @@ def solve_deflated(
     state_cache: Optional[str] = None,
     project_every: int = 1,
     verbose: bool = False,
+    pass2_impl: str = "auto",
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -880,8 +954,10 @@ def solve_deflated(
     # state allocation) and allocate the (d, K, n) basis BEFORE anything
     # else device-side: the TPU allocator needs a CONTIGUOUS HBM block for
     # it, and f64-emulation temporaries fragment the arena quickly.
+    bands_host = np.asarray(op.bands, np.float64)   # for host certify
     U_np = np.asarray(basis.U, np.float64)
     b_np = np.asarray(b, np.float64)
+    b_host = b_np.copy()
     if U_np.shape[0] == 1:
         c_np = np.einsum("nm,dn->dm", U_np[0], b_np)
         b_perp_np = b_np - np.einsum("nm,dm->dn", U_np[0], c_np)
@@ -900,6 +976,46 @@ def solve_deflated(
 
     if comm not in ("gspmd", "ring"):
         raise ValueError(f"comm must be 'gspmd' or 'ring', got {comm!r}")
+    if pass2_impl == "auto":
+        pass2_impl = (
+            "host"
+            if eigh_impl == "host" and storage == "twopass" and mesh is None
+            else "device"
+        )
+    if pass2_impl not in ("host", "device"):
+        raise ValueError(f"pass2_impl must be 'auto'|'host'|'device', got {pass2_impl!r}")
+    if pass2_impl == "host" and (storage != "twopass" or mesh is not None):
+        raise ValueError("pass2_impl='host' requires storage='twopass' and no mesh")
+
+    # resume BEFORE any device work: a fully-resumed twopass solve with host
+    # checkpoint algebra and host pass-2 never touches the device at all —
+    # the crash-recovery path on this machine's flaky tunneled TPU worker.
+    if state_cache is not None and storage != "twopass":
+        raise ValueError("state_cache requires storage='twopass'")
+    if project_every != 1 and storage != "twopass":
+        raise ValueError("project_every requires storage='twopass'")
+    resume_np = None
+    resumed_k_prev = 1
+    if state_cache is not None and os.path.exists(state_cache):
+        z = np.load(state_cache)
+        if z["od"].shape == (op.d, kmax + 1) and z["vp"].shape == (op.d, op.n):
+            resume_np = {f: np.asarray(z[f]) for f in
+                         ("dg", "od", "btil", "vp", "vpp", "beta")}
+            resume_np["leak"] = (
+                np.asarray(float(z["leak"])) if "leak" in z else np.asarray(0.0)
+            )
+            resumed_k_prev = int(z["k_prev"])
+        else:
+            raise ValueError(
+                f"state_cache {state_cache} shape mismatch: "
+                f"{z['od'].shape} vs {(op.d, kmax + 1)} — stale cache?"
+            )
+    needs_advance = (max(checkpoints) + 1) > resumed_k_prev
+    needs_device = (
+        storage == "full" or mesh is not None or needs_advance
+        or pass2_impl == "device"
+    )
+
     mode_sh = basis_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -919,59 +1035,59 @@ def solve_deflated(
     def _put(x, sh):
         return x if sh is None else jax.device_put(x, sh)
 
-    b_perp = _put(jnp.asarray(b_perp_np, pdt), mode_sh)  # shared with init
-    if storage == "full":
-        state, _ = _init_defl_state(b_perp, kmax + 1, pdt)
-        if basis_sh is not None:
-            state = state._replace(V=_put(state.V, basis_sh))
-    op_c = op.astype(pdt)
-    if mesh is not None:
-        op_c = dataclasses.replace(
-            op_c,
-            bands=_put(op_c.bands, band_sh),
-            halo=(mesh, "mode", fs) if comm == "ring" else op_c.halo,
-        )
-    # one explicit transfer (jitted calls would re-upload a numpy U per call)
-    U = _put(jnp.asarray(np.asarray(basis.U), pdt), None if mesh is None else u_sh)
+    b_perp = U = op_c = state = None
+    if needs_device:
+        b_perp = _put(jnp.asarray(b_perp_np, pdt), mode_sh)  # shared with init
+        if storage == "full":
+            state, _ = _init_defl_state(b_perp, kmax + 1, pdt)
+            if basis_sh is not None:
+                state = state._replace(V=_put(state.V, basis_sh))
+        op_c = op.astype(pdt)
+        if mesh is not None:
+            op_c = dataclasses.replace(
+                op_c,
+                bands=_put(op_c.bands, band_sh),
+                halo=(mesh, "mode", fs) if comm == "ring" else op_c.halo,
+            )
+        # one explicit transfer (jitted calls re-upload a numpy U per call)
+        U = _put(jnp.asarray(np.asarray(basis.U), pdt),
+                 None if mesh is None else u_sh)
+        if storage == "twopass":
+            b_norms_d = jnp.linalg.norm(b_perp, axis=1)
+            v0 = b_perp / jnp.where(b_norms_d > 0, b_norms_d, 1.0)[:, None]
+            d_ = op.d
+            state = _LightState(
+                jnp.zeros((d_, kmax + 1), pdt),
+                jnp.zeros((d_, kmax + 1), pdt),
+                jnp.zeros((d_, kmax + 1), pdt).at[:, 0].set(b_norms_d),
+                v0,
+                jnp.zeros_like(v0),
+                jnp.zeros((d_,), pdt),
+                jnp.zeros((), pdt),
+            )
     c = jnp.asarray(c_np, pdt)
-    if storage == "twopass":
-        b_norms_d = jnp.linalg.norm(b_perp, axis=1)
-        v0 = b_perp / jnp.where(b_norms_d > 0, b_norms_d, 1.0)[:, None]
-        d_ = op.d
-        state = _LightState(
-            jnp.zeros((d_, kmax + 1), pdt),
-            jnp.zeros((d_, kmax + 1), pdt),
-            jnp.zeros((d_, kmax + 1), pdt).at[:, 0].set(b_norms_d),
-            v0,
-            jnp.zeros_like(v0),
-            jnp.zeros((d_,), pdt),
-            jnp.zeros((), pdt),
-        )
-    del b_perp_np, c_np, U_np, b_np
+    del c_np, b_np
 
     rel_hist: List[float] = []
     bound_hist: List[float] = []
     status = int(Status.MAXITER)
     k_prev, k_done = 1, 0
     Yu = Yv = weights = None
-    if state_cache is not None and storage != "twopass":
-        raise ValueError("state_cache requires storage='twopass'")
-    if project_every != 1 and storage != "twopass":
-        raise ValueError("project_every requires storage='twopass'")
-    if state_cache is not None and os.path.exists(state_cache):
-        z = np.load(state_cache)
-        if z["od"].shape == (op.d, kmax + 1) and z["vp"].shape == (op.d, op.n):
+    if resume_np is not None:
+        if needs_device:
             state = _LightState(
-                *(jnp.asarray(z[f], pdt)
+                *(jnp.asarray(resume_np[f], pdt)
                   for f in ("dg", "od", "btil", "vp", "vpp", "beta")),
-                jnp.asarray(float(z["leak"]) if "leak" in z else 0.0, pdt),
+                jnp.asarray(resume_np["leak"], pdt),
             )
-            k_prev = int(z["k_prev"])
         else:
-            raise ValueError(
-                f"state_cache {state_cache} shape mismatch: "
-                f"{z['od'].shape} vs {(op.d, kmax + 1)} — stale cache?"
+            # host-only recovery path: the state never leaves numpy
+            state = _LightState(
+                resume_np["dg"], resume_np["od"], resume_np["btil"],
+                resume_np["vp"], resume_np["vpp"], resume_np["beta"],
+                resume_np["leak"],
             )
+        k_prev = resumed_k_prev
 
     def _save_state(st: _LightState, k_prev: int):
         if state_cache is None:
@@ -1030,27 +1146,53 @@ def solve_deflated(
 
     # compress to the ACTIVE exp-sum columns before assembly: the padded
     # (tmax,) buffers carry ~3× dead columns (t_mask zeros) that would
-    # otherwise triple the pass-2 accumulator and the certificate's Gram
+    # otherwise triple the pass-2 accumulator and the certificate's Gram.
+    # All small state is materialized to HOST first, so a device fault in
+    # pass-2 can no longer lose the recorded solve.
     act = np.flatnonzero(np.asarray(coeffs.t_mask) > 0)
-    Yu = jnp.asarray(Yu)[:, :, act]
-    Yv = jnp.asarray(Yv)[:, :, act]
-    weights = jnp.asarray(weights)[act]
+    Yu_np = np.asarray(Yu)[:, :, act]
+    Yv_np = np.asarray(Yv)[:, :, act]
+    weights = np.asarray(weights)[act]
+    od_np = np.asarray(state.od)
+    btil_np = np.asarray(state.btil)
+    leak_val = float(state.leak) if hasattr(state, "leak") else None
+    n_probes = min(16, max(k_done - 1, 1))
     audit = None
     if storage == "full":
-        xf = _assemble(U, state.V, Yu, Yv, jnp.asarray(k_done, jnp.int32))
+        xf = _assemble(U, state.V, jnp.asarray(Yu_np), jnp.asarray(Yv_np),
+                       jnp.asarray(k_done, jnp.int32))
     else:
-        K_ = state.od.shape[1]
-        mask = (jnp.arange(K_)[None, :, None] < k_done).astype(Yv.dtype)
-        X, audit = _pass2_accumulate(
-            op_c, b_perp, U, state.od, Yv * mask,
-            jnp.asarray(k_done - 1, jnp.int32),
-            n_probes=min(16, max(k_done - 1, 1)),
-            project_every=project_every,
-        )
-        xf = _u_lift(U, Yu) + X
+        K_ = od_np.shape[1]
+        mask = (np.arange(K_)[None, :, None] < k_done)
+        Yv_m = Yv_np * mask
+        if pass2_impl == "device":
+            try:
+                X, audit = _pass2_accumulate(
+                    op_c, b_perp, U, state.od, jnp.asarray(Yv_m),
+                    jnp.asarray(k_done - 1, jnp.int32),
+                    n_probes=n_probes, project_every=project_every,
+                )
+                xf = np.asarray(_u_lift(U, jnp.asarray(Yu_np)) + X)
+                audit = Pass2Audit(float(audit.gram_max),
+                                   float(audit.beta_rel_dev))
+            except jax.errors.JaxRuntimeError as e:
+                print("[solve_deflated] device pass-2 failed "
+                      f"({type(e).__name__}); falling back to host replay",
+                      flush=True)
+                pass2_impl = "host"
+        if pass2_impl == "host":
+            X, audit = _pass2_host(
+                np.asarray(op.bands, np.float64), op.offsets, b_perp_np,
+                np.asarray(basis.U, np.float64), od_np, Yv_m, k_done - 1,
+                project_every=project_every, n_probes=n_probes,
+                verbose=verbose,
+            )
+            U_host = np.asarray(basis.U, np.float64)
+            if U_host.shape[0] == 1:
+                xf = np.einsum("nm,dmt->dnt", U_host[0], Yu_np) + X
+            else:
+                xf = np.einsum("dnm,dmt->dnt", U_host, Yu_np) + X
     x = CPTensor(weights, xf)
-    leak_val = float(state.leak) if hasattr(state, "leak") else None
-    btil_np = np.asarray(state.btil)
     kk = np.arange(btil_np.shape[1])
     live = (kk >= 1) & (kk <= k_done)
     drift = float(
@@ -1060,9 +1202,15 @@ def solve_deflated(
     # rank-(1+d·t) CP residual materializes (flagship HBM headroom)
     measured = measured_floor = None
     if certify:
-        # structured Gram evaluation: O(d·n·t) HBM, not O(d·n·d·t) —
-        # materializing the rank-(1+d·t) residual OOMs the flagship chip
-        check = cp_residual_cross_check(op, x, b)
+        # structured Gram evaluation, fully on host: O(d·n·t) memory, and
+        # the only device interaction is pulling xf when it was assembled
+        # on-device (host pass-2 produces numpy xf directly)
+        from .utils.cp import cp_residual_cross_check_host
+
+        check = cp_residual_cross_check_host(
+            bands_host, op.offsets, np.asarray(weights, np.float64),
+            np.asarray(xf, np.float64), b_host,
+        )
         measured = check.value / b_norm
         measured_floor = check.floor / b_norm
     return DeflatedResult(
