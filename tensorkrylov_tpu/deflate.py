@@ -1005,6 +1005,13 @@ def solve_deflated(
                 np.asarray(float(z["leak"])) if "leak" in z else np.asarray(0.0)
             )
             resumed_k_prev = int(z["k_prev"])
+            cached_pe = int(z["project_every"]) if "project_every" in z else 1
+            if cached_pe != project_every:
+                raise ValueError(
+                    f"state_cache was recorded with project_every={cached_pe} "
+                    f"but this call uses {project_every}: pass-2 must replay "
+                    "the exact pass-1 projection schedule"
+                )
         else:
             raise ValueError(
                 f"state_cache {state_cache} shape mismatch: "
@@ -1099,6 +1106,7 @@ def solve_deflated(
             btil=np.asarray(st.btil), vp=np.asarray(st.vp),
             vpp=np.asarray(st.vpp), beta=np.asarray(st.beta),
             k_prev=np.asarray(k_prev), leak=np.asarray(st.leak),
+            project_every=np.asarray(project_every),
         )
         os.replace(tmp, state_cache)
 

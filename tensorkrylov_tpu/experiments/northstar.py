@@ -42,6 +42,11 @@ def main():
     p.add_argument("--checkpoints", type=int, nargs="+", default=None,
                    help="explicit certificate checkpoints (default: geometric from 32)")
     p.add_argument("--no-certify", action="store_true")
+    p.add_argument("--storage", default="auto",
+                   choices=["auto", "full", "twopass"],
+                   help="basis storage; pass 'twopass' with --cpu to finish "
+                        "a crashed TPU run entirely on host from its "
+                        "state cache")
     p.add_argument("--project-every", type=int, default=1,
                    help="run the U-projection GEMM every p-th Lanczos step "
                         "(twopass storage; leak is measured and recorded)")
@@ -103,6 +108,7 @@ def main():
                             checkpoints=args.checkpoints,
                             state_cache=state_cache,
                             project_every=args.project_every,
+                            storage=args.storage,
                             verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
@@ -169,7 +175,8 @@ def main():
                 else ("tridiag_mixed" if jax.default_backend() == "tpu" else "dense")
             ),
             "storage_resolved": (
-                "twopass" if jax.default_backend() == "tpu" else "full"
+                args.storage if args.storage != "auto"
+                else ("twopass" if jax.default_backend() == "tpu" else "full")
             ),
             "project_every": args.project_every,
             "checkpoints_requested": args.checkpoints,
