@@ -297,10 +297,16 @@ def _init_defl_state(b_perp, K: int, pdt) -> Tuple[_DeflState, jax.Array]:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("reorth", "reorth_tol"), donate_argnums=(1,))
-def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth, reorth_tol: float = 0.0):
+@functools.partial(
+    jax.jit,
+    static_argnames=("reorth", "reorth_tol", "project_every"),
+    donate_argnums=(1,),
+)
+def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth,
+             reorth_tol: float = 0.0, project_every: int = 1):
     """Run Lanczos steps k0..k1-1 (step k writes basis column k) with
-    per-step deflation projection; f64 throughout (proj dtype = V dtype)."""
+    per-step (or strided — see _advance_light) deflation projection; f64
+    throughout (proj dtype = V dtype)."""
     from .ops.banded import spmv
 
     pdt = state.V.dtype
@@ -311,7 +317,15 @@ def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth, reorth_tol: fl
         u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
         alpha = jnp.einsum("dn,dn->d", u, st.vp, preferred_element_type=pdt)
         u = u - alpha[:, None] * st.vp
-        u = deflation_project(u, U, pdt)
+        if project_every > 1:
+            u = lax.cond(
+                k % project_every == 0,
+                lambda u: deflation_project(u, U, pdt),
+                lambda u: u,
+                u,
+            )
+        else:
+            u = deflation_project(u, U, pdt)
 
         def sweep(u):
             mask = (jnp.arange(K)[None, :] < k).astype(pdt)
@@ -992,8 +1006,6 @@ def solve_deflated(
     # the crash-recovery path on this machine's flaky tunneled TPU worker.
     if state_cache is not None and storage != "twopass":
         raise ValueError("state_cache requires storage='twopass'")
-    if project_every != 1 and storage != "twopass":
-        raise ValueError("project_every requires storage='twopass'")
     resume_np = None
     resumed_k_prev = 1
     if state_cache is not None and os.path.exists(state_cache):
@@ -1116,7 +1128,7 @@ def solve_deflated(
                 state = _advance(
                     op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
                     jnp.asarray(ck + 1, jnp.int32), reorth=reorth,
-                    reorth_tol=config.reorth_tol,
+                    reorth_tol=config.reorth_tol, project_every=project_every,
                 )
             else:
                 state = _advance_light(

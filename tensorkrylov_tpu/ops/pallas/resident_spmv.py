@@ -77,7 +77,7 @@ def _kernel(bands_ref, v_ref, out_ref, buf0, buf1, *, offsets, n, m, scale):
 def _multi_apply(bands, v, offsets: Tuple[int, ...], m: int, scale: float):
     d, nb, n = bands.shape
     kernel = functools.partial(
-        _kernel, offsets=offsets, n=n, m=m, scale=jnp.float32(scale)
+        _kernel, offsets=offsets, n=n, m=m, scale=float(scale)
     )
     # x64 disabled at trace time: Pallas index math must stay int32 for
     # Mosaic (same constraint as banded_spmv.py)

@@ -388,5 +388,7 @@ def test_project_every_stride_matches_per_step():
     assert abs(t8 - t1) / max(t1, 1e-300) < 1e-4
     assert r1.projection_leak < 1e-13          # per-step: pure roundoff
     assert r8.projection_leak < 1e-8           # strided: amplified roundoff
-    with pytest.raises(ValueError, match="project_every"):
-        tk.solve_deflated(op, b, cfg, m=6, storage="full", project_every=4)
+    # full storage supports the stride too (leak telemetry is twopass-only)
+    rf = tk.solve_deflated(op, b, cfg, m=6, storage="full", project_every=4)
+    tf = tk.kron_residual_dense(op, rf.x, np.asarray(b))
+    assert abs(tf - t1) / max(t1, 1e-300) < 1e-4
