@@ -67,6 +67,43 @@ def _bench_spmv(tk, jnp, jax, d=SPMV_D, n=SPMV_N, iters=200, dtype=None):
     return nnz * m2 / dt2 / 1e9, nnz
 
 
+def _bench_spmv_resident(tk, jnp, jax, d=SPMV_D, n=SPMV_N, iters=200):
+    """Bands-resident multi-apply Pallas kernel: one factor's bands AND its
+    ping-pong working vector stay in VMEM across all m dependent applies
+    (ops/pallas/resident_spmv.py) — HBM traffic O(1/m) of the XLA scan's."""
+    from tensorkrylov_tpu.ops.pallas.resident_spmv import spmv_multi_apply
+
+    op = tk.laplace(d, n, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+    scale = 1.0 / (4.0 * (n + 1) ** 2)
+
+    m1, m2 = iters, 4 * iters
+
+    def timed(m):
+        g = jax.jit(
+            lambda b, x: jnp.sum(
+                spmv_multi_apply(
+                    tk.KroneckerSumOperator(b, op.offsets, True), x, m, scale
+                )[:, :: 1 << 12]
+            ),
+            static_argnames=(),
+        )
+        float(g(op.bands, v))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(g(op.bands, v))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt1, dt2 = timed(m1), timed(m2)
+    nnz = d * op.nnz_per_factor
+    if dt2 > 1.2 * dt1:
+        return nnz * (m2 - m1) / (dt2 - dt1) / 1e9
+    return nnz * m2 / dt2 / 1e9
+
+
 def _bench_spmv_cpu(d=SPMV_D, n=SPMV_N, iters=10):
     """Host-CPU baseline: the native (C++, multithreaded) banded SpMV from
     csrc/tkcore.cpp — a stand-in for the reference's single-process CPU
@@ -121,7 +158,12 @@ def main():
     import tensorkrylov_tpu as tk
 
     platform = jax.devices()[0].platform
-    gnnz, nnz = _bench_spmv(tk, jnp, jax)
+    gnnz_xla, nnz = _bench_spmv(tk, jnp, jax)
+    try:
+        gnnz_res = _bench_spmv_resident(tk, jnp, jax) if platform == "tpu" else 0.0
+    except Exception:
+        gnnz_res = 0.0
+    gnnz = max(gnnz_xla, gnnz_res)
     cpu_gnnz = _bench_spmv_cpu()
     iters_per_s = _bench_solver_iterations(tk, jax, jnp)
 
@@ -144,6 +186,8 @@ def main():
                 "vs_baseline": round(gnnz / cpu_gnnz, 3),
                 "extra": {
                     "platform": platform,
+                    "xla_scan_gnnz_s": round(gnnz_xla, 3),
+                    "resident_pallas_gnnz_s": round(gnnz_res, 3),
                     "cpu_numpy_gnnz_s": round(cpu_gnnz, 3),
                     "solver_iters_per_s_f64": round(iters_per_s, 2),
                     "spmv_config": "d=8 tridiag n=2^20 f32",
