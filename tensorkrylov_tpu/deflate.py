@@ -278,7 +278,11 @@ class _DeflState(NamedTuple):
     beta: jax.Array  # (d,) last offdiagonal
 
 
+@functools.partial(jax.jit, static_argnames=("K", "pdt"))
 def _init_defl_state(b_perp, K: int, pdt) -> Tuple[_DeflState, jax.Array]:
+    """jitted so the zeros→first-column write fuses into ONE (d, K, n)
+    allocation — the eager zeros + dynamic_update_slice pair materialized
+    the flagship basis TWICE (2 × 7.4 GB) and OOM'd the chip."""
     d, n = b_perp.shape
     b_norms = jnp.linalg.norm(b_perp.astype(pdt), axis=1)
     # b⊥_s = 0 (b_s entirely inside span(U_s)) is legal: freeze that factor's
