@@ -267,9 +267,17 @@ class _DeflState(NamedTuple):
     flagship, plus f64-emulation temp copies). Here V is (d, K, n)
     (K pads by ≤ 7 rows) and is WRITE-ONLY in the hot loop: the three-term
     recurrence carries v_{k-1}, v_{k-2} explicitly, and T is stored as
-    diag/offdiag vectors instead of a dense (d, K, K) matrix."""
+    diag/offdiag vectors instead of a dense (d, K, K) matrix.
 
-    V: jax.Array     # (d, K, n)
+    r3 layout fix: V is stored 2-D as (K·d, n) in k-major row order (step k
+    owns the contiguous row block [k·d, (k+1)·d)). The 3-D (d, K, n) layout
+    let XLA pick d as the sublane dimension (minor-to-major {2,0,1}), which
+    pads 10 → 16 — a 1.6× expansion that, with the f64 X64Combine temp,
+    OOM'd the m=2048 flagship at 16.5 GB. A 2-D buffer's sublane dim is
+    K·d, which pads by < 8 rows. Reshape to (K, d, n) is free for reads
+    (same memory order)."""
+
+    V: jax.Array     # (K*d, n), row k*d+s = basis column k of factor s
     dg: jax.Array    # (d, K) T diagonal: dg[:, j] = α for column j
     od: jax.Array    # (d, K) T offdiag: od[:, j] couples columns j-1, j
     btil: jax.Array  # (d, K) ⟨v_j, b⊥⟩ (≈ β₀ e₀; the rest is drift telemetry)
@@ -288,8 +296,8 @@ def _init_defl_state(b_perp, K: int, pdt) -> Tuple[_DeflState, jax.Array]:
     # b⊥_s = 0 (b_s entirely inside span(U_s)) is legal: freeze that factor's
     # recurrence at zero instead of poisoning the state with NaN
     v0 = (b_perp.astype(pdt) / jnp.where(b_norms > 0, b_norms, 1.0)[:, None]).astype(pdt)
-    V = jnp.zeros((d, K, n), pdt)
-    V = lax.dynamic_update_slice(V, v0[:, None, :], (0, 0, 0))
+    V = jnp.zeros((K * d, n), pdt)
+    V = lax.dynamic_update_slice(V, v0, (0, 0))
     # distinct buffers (dg/od/btil feed a donated argument — aliased zeros
     # would be donated twice)
     dg = jnp.zeros((d, K), pdt)
@@ -314,7 +322,8 @@ def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth,
     from .ops.banded import spmv
 
     pdt = state.V.dtype
-    d, K, n = state.V.shape
+    d, n = state.vp.shape
+    K = state.dg.shape[1]
     thresh = reorth_tol if reorth_tol > 0.0 else float(np.sqrt(np.finfo(np.float64).eps))
 
     def body(k, st: _DeflState) -> _DeflState:
@@ -332,9 +341,10 @@ def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth,
             u = deflation_project(u, U, pdt)
 
         def sweep(u):
-            mask = (jnp.arange(K)[None, :] < k).astype(pdt)
-            w = jnp.einsum("dkn,dn->dk", st.V, u, preferred_element_type=pdt) * mask
-            return u - jnp.einsum("dkn,dk->dn", st.V, w, preferred_element_type=pdt)
+            Vk = st.V.reshape(K, d, n)
+            mask = (jnp.arange(K)[:, None] < k).astype(pdt)
+            w = jnp.einsum("kdn,dn->kd", Vk, u, preferred_element_type=pdt) * mask
+            return u - jnp.einsum("kdn,kd->dn", Vk, w, preferred_element_type=pdt)
 
         if reorth == "always":
             u = sweep(u)
@@ -368,7 +378,7 @@ def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth,
         v_new = jnp.where(lucky[:, None], 0.0, u / safe[:, None])
 
         zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
-        V = lax.dynamic_update_slice(st.V, v_new[:, None, :], (zero, k, zero))
+        V = lax.dynamic_update_slice(st.V, v_new, (k * d, zero))
         dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
         od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
         btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
@@ -850,11 +860,13 @@ def _u_lift(U, Yu):
 
 @functools.partial(jax.jit, static_argnames=())
 def _assemble(U, V, Yu, Yv, k):
-    """Real-space CP factors: U·Yu + V·Yv (V (d, K, n), columns < k)."""
-    K = V.shape[1]
+    """Real-space CP factors: U·Yu + V·Yv (V (K·d, n) k-major, columns < k)."""
+    d, K = Yv.shape[0], Yv.shape[1]
+    n = V.shape[1]
+    Vk = V.reshape(K, d, n)
     mask = (jnp.arange(K) < k).astype(Yv.dtype)
     Yvm = Yv * mask[None, :, None]
-    xv = jnp.einsum("dkn,dkt->dnt", V.astype(Yv.dtype), Yvm)
+    xv = jnp.einsum("kdn,dkt->dnt", Vk.astype(Yv.dtype), Yvm)
     return _u_lift(U, Yu) + xv
 
 
@@ -1049,7 +1061,7 @@ def solve_deflated(
             raise ValueError("solve_deflated mesh needs a 'mode' axis")
         fs = _factor_spec(mesh, op.d) if "factor" in mesh.shape else None
         mode_sh = NamedSharding(mesh, P(fs, "mode"))           # (d, n)
-        basis_sh = NamedSharding(mesh, P(fs, None, "mode"))    # (d, K, n)
+        basis_sh = NamedSharding(mesh, P(None, "mode"))        # (K*d, n)
         u_sh = NamedSharding(
             mesh, P(None if basis.U.shape[0] == 1 else fs, "mode", None)
         )

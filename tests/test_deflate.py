@@ -268,7 +268,7 @@ def test_advance_reorth_always_orthogonalizes():
             jnp.asarray(1, jnp.int32), jnp.asarray(k + 1, jnp.int32),
             reorth=mode,
         )
-        V = np.asarray(state.V)[:, :k, :]  # (d, k, n)
+        V = np.asarray(state.V).reshape(k + 1, 2, -1)[:k].transpose(1, 0, 2)
         G = np.einsum("dkn,djn->dkj", V, V)
         grams[mode] = np.abs(G - np.eye(k)[None]).max()
     assert grams["always"] < 1e-13
