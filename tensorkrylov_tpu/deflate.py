@@ -341,10 +341,22 @@ def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth,
             u = deflation_project(u, U, pdt)
 
         def sweep(u):
-            Vk = st.V.reshape(K, d, n)
-            mask = (jnp.arange(K)[:, None] < k).astype(pdt)
-            w = jnp.einsum("kdn,dn->kd", Vk, u, preferred_element_type=pdt) * mask
-            return u - jnp.einsum("kdn,kd->dn", Vk, w, preferred_element_type=pdt)
+            # block-sequential CGS over static column chunks: each chunk's
+            # einsum operand stays under the f64-emulation splat budget
+            # (ops/orth.py:_PROJ_CHUNK_ELEMS); small K ⇒ one chunk, the
+            # original single-sweep path
+            from .ops.orth import _proj_col_chunk
+
+            C = _proj_col_chunk(d * n, K)
+            for c0 in range(0, K, C):
+                Cc = min(C, K - c0)
+                Vc = st.V[c0 * d:(c0 + Cc) * d].reshape(Cc, d, n)
+                mask = ((c0 + jnp.arange(Cc))[:, None] < k).astype(pdt)
+                w = jnp.einsum("kdn,dn->kd", Vc, u,
+                               preferred_element_type=pdt) * mask
+                u = u - jnp.einsum("kdn,kd->dn", Vc, w,
+                                   preferred_element_type=pdt)
+            return u
 
         if reorth == "always":
             u = sweep(u)
@@ -405,17 +417,29 @@ class _LightState(NamedTuple):
 
 
 def _project_with_leak(u, U, pdt):
-    """deflation_project + the free leak telemetry max_s ‖U_sᵀ u_s‖∞/‖u_s‖."""
+    """deflation_project + the free leak telemetry max_s ‖U_sᵀ u_s‖∞/‖u_s‖.
+    Chunked over U columns like ops.orth.deflation_project (bounds the TPU
+    f64-emulation splat temp); the leak is the max |coefficient| over all
+    chunks, relative to the pre-projection norm."""
+    from .ops.orth import _proj_col_chunk
+
     Ua = U.astype(pdt)
-    if Ua.shape[0] == 1:
-        w = jnp.einsum("nm,dn->dm", Ua[0], u, preferred_element_type=pdt)
-        out = u - jnp.einsum("nm,dm->dn", Ua[0], w, preferred_element_type=pdt)
-    else:
-        w = jnp.einsum("snm,sn->sm", Ua, u, preferred_element_type=pdt)
-        out = u - jnp.einsum("snm,sm->sn", Ua, w, preferred_element_type=pdt)
+    n, m = Ua.shape[1], Ua.shape[2]
+    C = _proj_col_chunk(n, m)
     un = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt))
-    leak = jnp.max(jnp.max(jnp.abs(w), axis=1) / (un + 1e-300))
-    return out, leak
+    wmax = jnp.zeros((u.shape[0],), pdt)
+    for c0 in range(0, m, C):
+        if Ua.shape[0] == 1:
+            Uc = Ua[0, :, c0:c0 + C]
+            w = jnp.einsum("nm,dn->dm", Uc, u, preferred_element_type=pdt)
+            u = u - jnp.einsum("nm,dm->dn", Uc, w, preferred_element_type=pdt)
+        else:
+            Uc = Ua[:, :, c0:c0 + C]
+            w = jnp.einsum("snm,sn->sm", Uc, u, preferred_element_type=pdt)
+            u = u - jnp.einsum("snm,sm->sn", Uc, w, preferred_element_type=pdt)
+        wmax = jnp.maximum(wmax, jnp.max(jnp.abs(w), axis=1))
+    leak = jnp.max(wmax / (un + 1e-300))
+    return u, leak
 
 
 @functools.partial(
@@ -852,21 +876,44 @@ def _evaluate_host(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
 
 
 def _u_lift(U, Yu):
-    """U·Yu → (d, n, t); U is (1, n, m) shared or (d, n, m) distinct."""
-    if U.shape[0] == 1:
-        return jnp.einsum("nm,dmt->dnt", U[0].astype(Yu.dtype), Yu)
-    return jnp.einsum("dnm,dmt->dnt", U.astype(Yu.dtype), Yu)
+    """U·Yu → (d, n, t); U is (1, n, m) shared or (d, n, m) distinct.
+    Chunked over U columns (f64-emulation splat budget, ops/orth.py)."""
+    from .ops.orth import _proj_col_chunk
+
+    n, m = U.shape[1], U.shape[2]
+    C = _proj_col_chunk(n, m)
+    out = None
+    for c0 in range(0, m, C):
+        if U.shape[0] == 1:
+            term = jnp.einsum("nm,dmt->dnt", U[0, :, c0:c0 + C].astype(Yu.dtype),
+                              Yu[:, c0:c0 + C, :])
+        else:
+            term = jnp.einsum("dnm,dmt->dnt", U[:, :, c0:c0 + C].astype(Yu.dtype),
+                              Yu[:, c0:c0 + C, :])
+        out = term if out is None else out + term
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _assemble(U, V, Yu, Yv, k):
-    """Real-space CP factors: U·Yu + V·Yv (V (K·d, n) k-major, columns < k)."""
+    """Real-space CP factors: U·Yu + V·Yv (V (K·d, n) k-major, columns < k).
+    Chunked over V columns for the same f64-emulation splat budget as the
+    sweep; the U-lift goes through the chunked deflation-project-style
+    einsums implicitly (small Yu)."""
+    from .ops.orth import _proj_col_chunk
+
     d, K = Yv.shape[0], Yv.shape[1]
     n = V.shape[1]
-    Vk = V.reshape(K, d, n)
     mask = (jnp.arange(K) < k).astype(Yv.dtype)
     Yvm = Yv * mask[None, :, None]
-    xv = jnp.einsum("kdn,dkt->dnt", Vk.astype(Yv.dtype), Yvm)
+    C = _proj_col_chunk(d * n, K)
+    xv = jnp.zeros((d, n, Yv.shape[2]), Yv.dtype)
+    for c0 in range(0, K, C):
+        Cc = min(C, K - c0)
+        Vc = V[c0 * d:(c0 + Cc) * d].reshape(Cc, d, n)
+        xv = xv + jnp.einsum(
+            "kdn,dkt->dnt", Vc.astype(Yv.dtype), Yvm[:, c0:c0 + Cc, :]
+        )
     return _u_lift(U, Yu) + xv
 
 

@@ -232,16 +232,39 @@ def _gate_col(V, v_new, k, active):
     return jnp.where(active, v_new, _col(V, k))
 
 
+# Max f64 einsum-operand elements before column chunking. The TPU f64
+# emulation splats each big dot operand into 8 f32 component arrays in HBM
+# (~32 B/element + sublane padding — measured: the flagship full-basis sweep
+# wanted 47 GB); bounding operand slices to 2^25 elements caps the splat
+# temp at ~1 GB. Small problems never chunk (single-einsum path unchanged).
+_PROJ_CHUNK_ELEMS = 1 << 25
+
+
+def _proj_col_chunk(n: int, m: int) -> int:
+    c = max(1, _PROJ_CHUNK_ELEMS // max(n, 1))
+    return m if c >= m else c
+
+
 def deflation_project(u: jax.Array, U: jax.Array, acc) -> jax.Array:
     """u − U (Uᵀ u) per factor. U: (1, n, m) shared across factors (one GEMM
     pass over U regardless of d — the identical-factor fast path) or
-    (d, n, m) distinct."""
+    (d, n, m) distinct. Large U is processed in static column chunks
+    (sequential block projection — exactly the full projection for
+    orthonormal U, and it bounds the f64-emulation splat temp)."""
     Ua = U.astype(acc)
+    n, m = Ua.shape[1], Ua.shape[2]
+    C = _proj_col_chunk(n, m)
     if Ua.shape[0] == 1:
-        coeff = jnp.einsum("nm,dn->dm", Ua[0], u, preferred_element_type=acc)
-        return u - jnp.einsum("nm,dm->dn", Ua[0], coeff, preferred_element_type=acc)
-    coeff = jnp.einsum("snm,sn->sm", Ua, u, preferred_element_type=acc)
-    return u - jnp.einsum("snm,sm->sn", Ua, coeff, preferred_element_type=acc)
+        for c0 in range(0, m, C):
+            Uc = Ua[0, :, c0:c0 + C]
+            coeff = jnp.einsum("nm,dn->dm", Uc, u, preferred_element_type=acc)
+            u = u - jnp.einsum("nm,dm->dn", Uc, coeff, preferred_element_type=acc)
+        return u
+    for c0 in range(0, m, C):
+        Uc = Ua[:, :, c0:c0 + C]
+        coeff = jnp.einsum("snm,sn->sm", Uc, u, preferred_element_type=acc)
+        u = u - jnp.einsum("snm,sm->sn", Uc, coeff, preferred_element_type=acc)
+    return u
 
 
 def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, *, reorth, proj_dtype, active=None, fused: bool = False, reorth_tol: float = 0.0, deflate_U=None):
