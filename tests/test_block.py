@@ -77,6 +77,7 @@ def test_block_deflation_duplicate_rhs():
     assert _true_rel(op, B, res) < 1e-8
 
 
+@__import__("pytest").mark.slow
 def test_block_r1_matches_scalar_arnoldi():
     """R = 1 block solve is scalar CGS2 Arnoldi — traces must agree."""
     op = tk.laplace(2, 20)

@@ -174,6 +174,7 @@ def test_deflation_reduces_iterations():
     assert defl.niterations < plain.niterations
 
 
+@pytest.mark.slow
 def test_deflated_basis_stays_U_orthogonal():
     """The per-step re-projection keeps the Krylov basis in the U-complement
     (drift would poison the joint-basis residual algebra)."""
@@ -321,7 +322,7 @@ def test_pass2_audit_and_cross_check_floor():
     op = tk.laplace(2, 36, shift=30.0)
     b = tk.random_rhs(2, 36, seed=5)
     b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
-    r = tk.solve_deflated(op, b, tk.SolverConfig(kmax=24, tol=1e-10),
+    r = tk.solve_deflated(op, b, tk.SolverConfig(kmax=16, tol=1e-10),
                           m=6, storage="twopass")
     # audit present and at f64 roundoff scale for this tiny well-conditioned
     # problem: the replay is bit-deterministic and drift is benign
@@ -337,7 +338,7 @@ def test_pass2_audit_and_cross_check_floor():
     else:
         assert true_r < 10 * max(r.cp_residual_floor, 1e-15)
     # full storage path reports no pass-2 audit (no replay happens)
-    rf = tk.solve_deflated(op, b, tk.SolverConfig(kmax=24, tol=1e-10),
+    rf = tk.solve_deflated(op, b, tk.SolverConfig(kmax=16, tol=1e-10),
                            m=6, storage="full")
     assert rf.pass2_gram_max is None
 
@@ -380,7 +381,7 @@ def test_project_every_stride_matches_per_step():
     op = tk.laplace(2, 64, shift=30.0)
     b = tk.random_rhs(2, 64, seed=5)
     b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
-    cfg = tk.SolverConfig(kmax=32, tol=1e-12)
+    cfg = tk.SolverConfig(kmax=20, tol=1e-12)
     r1 = tk.solve_deflated(op, b, cfg, m=6, storage="twopass", project_every=1)
     r8 = tk.solve_deflated(op, b, cfg, m=6, storage="twopass", project_every=8)
     t1 = tk.kron_residual_dense(op, r1.x, np.asarray(b))
