@@ -235,6 +235,10 @@ class DeflatedResult:
     # max measured pre-projection U-leak max|Uᵀu|/‖u‖ (evidence for
     # project_every > 1; always measured on the twopass path)
     projection_leak: Optional[float] = None
+    # storage='segmented': max measured pre-correction overlap |⟨v, V⟩| at
+    # the segment-boundary full reorthogonalizations — the drift that WAS
+    # there and was removed
+    boundary_drift_max: Optional[float] = None
 
     @property
     def converged(self):
@@ -489,6 +493,125 @@ def _advance_light(op, state: _LightState, b_perp, U, k0, k1,
         return _LightState(dg, od, btil, v_new, st.vp, beta_new, leak)
 
     return lax.fori_loop(k0, k1, body, state)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(1,), static_argnames=("project_every", "S")
+)
+def _advance_light_store(op, state: _LightState, b_perp, U, k0,
+                         project_every: int = 1, S: int = 32):
+    """_advance_light for steps k0..k0+S-1 that ALSO returns the S new basis
+    columns as one (S·d, n) block — the building block of
+    storage='segmented'. On this machine's emulated-f64 TPU a jit call
+    X64-splits every f64 argument into two f32 copies at entry (measured:
+    +100% of the argument bytes), so a monolithic (K·d, n) basis can never
+    cross a jit boundary at flagship size; per-segment blocks keep every
+    call's split peak at ~2·(U + segment) while the basis accumulates
+    off-boundary as a host-held list of device arrays."""
+    from .ops.banded import spmv
+
+    pdt = state.vp.dtype
+    d, n = state.vp.shape
+
+    def body(i, carry):
+        st, Vseg = carry
+        k = k0 + i
+        u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
+        alpha = jnp.einsum("dn,dn->d", u, st.vp, preferred_element_type=pdt)
+        u = u - alpha[:, None] * st.vp
+        if project_every > 1:
+            u, leak = lax.cond(
+                k % project_every == 0,
+                lambda u: _project_with_leak(u, U, pdt),
+                lambda u: (u, jnp.zeros((), pdt)),
+                u,
+            )
+        else:
+            u, leak = _project_with_leak(u, U, pdt)
+        leak = jnp.maximum(st.leak, leak)
+        beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt)
+        ub = jnp.einsum("dn,dn->d", u, b_perp, preferred_element_type=pdt)
+        beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
+        lucky = beta_new < 256.0 * jnp.finfo(pdt).eps * (jnp.abs(alpha) + st.beta + 1e-300)
+        beta_new = jnp.where(lucky, 0.0, beta_new)
+        safe = jnp.where(beta_new > 0, beta_new, 1.0)
+        v_new = jnp.where(lucky[:, None], 0.0, u / safe[:, None])
+        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
+        dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
+        od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
+        btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
+        Vseg = lax.dynamic_update_slice(Vseg, v_new, (i * d, zero))
+        return (_LightState(dg, od, btil, v_new, st.vp, beta_new, leak), Vseg)
+
+    Vseg0 = jnp.zeros((S * d, n), pdt)
+    (state, Vseg) = lax.fori_loop(
+        jnp.asarray(0, jnp.int32), jnp.asarray(S, jnp.int32), body,
+        (state, Vseg0),
+    )
+    return state, Vseg
+
+
+@functools.partial(jax.jit, static_argnames=("exclude_last",))
+def _sweep_block(Vseg, W, exclude_last: int = 0):
+    """One CGS block of the boundary reorthogonalization: coefficients of
+    the working vectors W (r, d, n) against a stored segment Vseg (S·d, n),
+    and the corrected W. Bounded f64 args → bounded X64-split peak.
+    exclude_last masks the trailing columns of the segment out of the sweep
+    (the working vectors ARE the last two stored columns — sweeping them
+    against themselves would annihilate the recurrence)."""
+    pdt = W.dtype
+    r, d, n = W.shape
+    Vk = Vseg.reshape(-1, d, n)
+    S = Vk.shape[0]
+    w = jnp.einsum("kdn,rdn->rkd", Vk, W, preferred_element_type=pdt)
+    if exclude_last:
+        mask = (jnp.arange(S) < S - exclude_last).astype(pdt)
+        w = w * mask[None, :, None]
+    W = W - jnp.einsum("kdn,rkd->rdn", Vk, w, preferred_element_type=pdt)
+    return W, jnp.max(jnp.abs(w))
+
+
+@jax.jit
+def _assemble_segment(Vseg, Yv_seg):
+    """xv contribution of one stored segment: Σ_k v_k[s]·Yv[s, k, :].
+    Vseg (S·d, n), Yv_seg (d, S, t) → (d, n, t)."""
+    S, t = Yv_seg.shape[1], Yv_seg.shape[2]
+    d = Yv_seg.shape[0]
+    n = Vseg.shape[1]
+    Vk = Vseg.reshape(S, d, n)
+    return jnp.einsum("kdn,dkt->dnt", Vk.astype(Yv_seg.dtype), Yv_seg)
+
+
+@jax.jit
+def _project_and_renorm(W, U):
+    """Boundary reorth epilogue: re-project both working vectors into the
+    U-complement and renormalize (correction sizes ≤ drift; the induced β
+    perturbation is second-order — Parlett–Scott practice)."""
+    pdt = W.dtype
+    W = jnp.stack(
+        [deflation_project(W[0], U, pdt), deflation_project(W[1], U, pdt)]
+    )
+    nrm = jnp.sqrt(jnp.einsum("rdn,rdn->rd", W, W, preferred_element_type=pdt))
+    return W / jnp.where(nrm > 0, nrm, 1.0)[:, :, None]
+
+
+def _boundary_reorth(segs, state: _LightState, U):
+    """Full reorthogonalization of (v_k, v_{k-1}) against every stored
+    column, segment by segment (each call's f64 X64-split peak stays at
+    ~2·segment). Returns the corrected state and the measured maximum
+    pre-correction overlap — the drift evidence at this boundary. At the
+    measured ~85 TFLOPS effective f64 einsum rate the full sweep at
+    k = 1024 costs ~1 ms: per-segment-boundary FULL reorth is effectively
+    free, which is why the segmented mode needs no on-demand trigger."""
+    W = jnp.stack([state.vp, state.vpp])
+    drift = 0.0
+    for i, seg in enumerate(segs):
+        W, wmax = _sweep_block(
+            seg, W, exclude_last=2 if i == len(segs) - 1 else 0
+        )
+        drift = max(drift, float(wmax))
+    W = _project_and_renorm(W, U)
+    return state._replace(vp=W[0], vpp=W[1]), drift
 
 
 class Pass2Audit(NamedTuple):
@@ -934,6 +1057,7 @@ def solve_deflated(
     project_every: int = 1,
     verbose: bool = False,
     pass2_impl: str = "auto",
+    segment: int = 32,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -1045,11 +1169,27 @@ def solve_deflated(
 
     if storage == "auto":
         storage = "twopass" if jax.default_backend() == "tpu" else "full"
-    if storage not in ("full", "twopass"):
-        raise ValueError(f"storage must be 'auto'|'full'|'twopass', got {storage!r}")
+    if storage not in ("full", "twopass", "segmented"):
+        raise ValueError(
+            f"storage must be 'auto'|'full'|'twopass'|'segmented', got {storage!r}"
+        )
     if storage == "twopass":
         # no basis to sweep against; drift is measured (btil probe) instead
         reorth = "never"
+    if storage == "segmented":
+        # in-segment steps are sweep-free; FULL reorthogonalization happens
+        # at every segment boundary against the stored segment list
+        reorth = "never"
+        if mesh is not None:
+            raise ValueError("storage='segmented' does not support mesh yet")
+        segment = int(segment)
+        if segment < 1:
+            raise ValueError(f"segment must be >= 1, got {segment}")
+        kmax = max(segment, (kmax // segment) * segment)
+        checkpoints = sorted({
+            min(max(segment, (ck // segment) * segment), kmax)
+            for ck in checkpoints
+        })
 
     if comm not in ("gspmd", "ring"):
         raise ValueError(f"comm must be 'gspmd' or 'ring', got {comm!r}")
@@ -1094,7 +1234,7 @@ def solve_deflated(
             )
     needs_advance = (max(checkpoints) + 1) > resumed_k_prev
     needs_device = (
-        storage == "full" or mesh is not None or needs_advance
+        storage in ("full", "segmented") or mesh is not None or needs_advance
         or pass2_impl == "device"
     )
 
@@ -1134,9 +1274,13 @@ def solve_deflated(
         # one explicit transfer (jitted calls re-upload a numpy U per call)
         U = _put(jnp.asarray(np.asarray(basis.U), pdt),
                  None if mesh is None else u_sh)
-        if storage == "twopass":
+        if storage in ("twopass", "segmented"):
             b_norms_d = jnp.linalg.norm(b_perp, axis=1)
             v0 = b_perp / jnp.where(b_norms_d > 0, b_norms_d, 1.0)[:, None]
+            # independent buffer: the state (which aliases v0) is DONATED
+            # into the advance jit; v0 itself must outlive it for the
+            # boundary sweeps and the segmented assembly
+            v0_dev = jnp.array(v0, copy=True)
             d_ = op.d
             state = _LightState(
                 jnp.zeros((d_, kmax + 1), pdt),
@@ -1185,6 +1329,8 @@ def solve_deflated(
         )
         os.replace(tmp, state_cache)
 
+    segs: List[jax.Array] = []
+    boundary_drift = None
     for ck in checkpoints:
         if ck + 1 > k_prev:
             if storage == "full":
@@ -1193,13 +1339,25 @@ def solve_deflated(
                     jnp.asarray(ck + 1, jnp.int32), reorth=reorth,
                     reorth_tol=config.reorth_tol, project_every=project_every,
                 )
+                k_prev = ck + 1
+            elif storage == "segmented":
+                while k_prev <= ck:
+                    state, Vseg = _advance_light_store(
+                        op_c, state, b_perp, U,
+                        jnp.asarray(k_prev, jnp.int32),
+                        project_every=project_every, S=segment,
+                    )
+                    segs.append(Vseg)
+                    k_prev += segment
+                    state, bd = _boundary_reorth([v0_dev] + segs, state, U)
+                    boundary_drift = max(boundary_drift or 0.0, bd)
             else:
                 state = _advance_light(
                     op_c, state, b_perp, U, jnp.asarray(k_prev, jnp.int32),
                     jnp.asarray(ck + 1, jnp.int32),
                     project_every=project_every,
                 )
-            k_prev = ck + 1
+                k_prev = ck + 1
             _save_state(state, k_prev) if storage == "twopass" else None
         if eigh_impl == "host":
             rel, brs, Yu, Yv, weights = _evaluate_host(
@@ -1244,6 +1402,21 @@ def solve_deflated(
     if storage == "full":
         xf = _assemble(U, state.V, jnp.asarray(Yu_np), jnp.asarray(Yv_np),
                        jnp.asarray(k_done, jnp.int32))
+    elif storage == "segmented":
+        K_ = od_np.shape[1]
+        mask = (np.arange(K_)[None, :, None] < k_done)
+        Yv_m = Yv_np * mask
+        xv = v0_dev[:, :, None] * jnp.asarray(Yv_m[:, 0, :])[:, None, :]
+        for j, seg in enumerate(segs):
+            c0 = 1 + j * segment
+            sl = Yv_m[:, c0:c0 + segment, :]
+            if sl.shape[1] < segment:
+                sl = np.concatenate(
+                    [sl, np.zeros((sl.shape[0], segment - sl.shape[1],
+                                   sl.shape[2]))], axis=1)
+            xv = xv + _assemble_segment(seg, jnp.asarray(sl))
+        xf = _u_lift(U, jnp.asarray(Yu_np)) + xv
+        xf = np.asarray(xf)
     else:
         K_ = od_np.shape[1]
         mask = (np.arange(K_)[None, :, None] < k_done)
@@ -1316,4 +1489,5 @@ def solve_deflated(
         projection_leak=(
             float(leak_val) if leak_val is not None else None
         ),
+        boundary_drift_max=boundary_drift,
     )

@@ -43,7 +43,7 @@ def main():
                    help="explicit certificate checkpoints (default: geometric from 32)")
     p.add_argument("--no-certify", action="store_true")
     p.add_argument("--storage", default="auto",
-                   choices=["auto", "full", "twopass"],
+                   choices=["auto", "full", "twopass", "segmented"],
                    help="basis storage; pass 'twopass' with --cpu to finish "
                         "a crashed TPU run entirely on host from its "
                         "state cache")
@@ -135,6 +135,9 @@ def main():
     print("cert bound :", [f"{r:.3e}" for r in res.certified_bound], flush=True)
     print(f"exp-sum sup: {res.expsum_sup:.3e}", flush=True)
     print(f"orthogonality drift max|<v_k,v_0>|: {res.orthogonality_drift:.3e}", flush=True)
+    if res.boundary_drift_max is not None:
+        print(f"boundary reorth drift max|<v,V>|: {res.boundary_drift_max:.3e}",
+              flush=True)
     if res.projection_leak is not None:
         print(f"projection leak max|U^T u|/|u|: {res.projection_leak:.3e} "
               f"(project_every={args.project_every})", flush=True)
@@ -203,6 +206,7 @@ def main():
             "pass2_beta_rel_dev": res.pass2_beta_rel_dev,
             "cross_check_error": cross_err,
             "projection_leak": res.projection_leak,
+            "boundary_drift_max": res.boundary_drift_max,
         },
         "timing": {
             "backend": jax.default_backend(),

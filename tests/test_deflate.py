@@ -393,3 +393,25 @@ def test_project_every_stride_matches_per_step():
     rf = tk.solve_deflated(op, b, cfg, m=6, storage="full", project_every=4)
     tf = tk.kron_residual_dense(op, rf.x, np.asarray(b))
     assert abs(tf - t1) / max(t1, 1e-300) < 1e-4
+
+
+def test_segmented_storage_matches_full():
+    """storage='segmented' (per-segment basis blocks + boundary full
+    reorthogonalization — the flagship TPU mode: big f64 buffers never
+    cross a jit boundary) must match storage='full' and keep the measured
+    boundary drift at roundoff on a well-conditioned problem."""
+    op = tk.laplace(2, 64, shift=30.0)
+    b = tk.random_rhs(2, 64, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = tk.SolverConfig(kmax=24, tol=1e-12)
+    rf = tk.solve_deflated(op, b, cfg, m=6, storage="full")
+    rs = tk.solve_deflated(op, b, cfg, m=6, storage="segmented", segment=8)
+    tf = tk.kron_residual_dense(op, rf.x, np.asarray(b))
+    ts = tk.kron_residual_dense(op, rs.x, np.asarray(b))
+    assert abs(ts - tf) / tf < 1e-3
+    assert ts <= rs.certified_bound[-1] + 1e-12
+    assert rs.boundary_drift_max is not None and rs.boundary_drift_max < 1e-10
+    # checkpoints snap to segment multiples
+    r2 = tk.solve_deflated(op, b, tk.SolverConfig(kmax=24, tol=1e-12), m=6,
+                           storage="segmented", segment=8, checkpoints=[13])
+    assert all(c % 8 == 0 for c in r2.checkpoints)
