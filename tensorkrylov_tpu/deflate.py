@@ -1403,20 +1403,29 @@ def solve_deflated(
         xf = _assemble(U, state.V, jnp.asarray(Yu_np), jnp.asarray(Yv_np),
                        jnp.asarray(k_done, jnp.int32))
     elif storage == "segmented":
+        # assembly fully ON HOST: at convergence the device holds every
+        # segment (~8-11 GB at flagship size) and adding jit-call split
+        # temps on top is exactly what OOMs; instead each segment is pulled
+        # once, freed on device, and accumulated in numpy — memory falls
+        # monotonically and a worker fault cannot lose the solve
         K_ = od_np.shape[1]
         mask = (np.arange(K_)[None, :, None] < k_done)
         Yv_m = Yv_np * mask
-        xv = v0_dev[:, :, None] * jnp.asarray(Yv_m[:, 0, :])[:, None, :]
-        for j, seg in enumerate(segs):
+        d_, n_ = b_perp_np.shape
+        bn_ = np.linalg.norm(b_perp_np, axis=1)
+        v0_np = b_perp_np / np.where(bn_ > 0, bn_, 1.0)[:, None]
+        xv = v0_np[:, :, None] * Yv_m[:, 0, :][:, None, :]
+        for j in range(len(segs)):
+            seg_np = np.asarray(segs[j], np.float64).reshape(segment, d_, n_)
+            segs[j] = None                       # free the device block
             c0 = 1 + j * segment
             sl = Yv_m[:, c0:c0 + segment, :]
-            if sl.shape[1] < segment:
-                sl = np.concatenate(
-                    [sl, np.zeros((sl.shape[0], segment - sl.shape[1],
-                                   sl.shape[2]))], axis=1)
-            xv = xv + _assemble_segment(seg, jnp.asarray(sl))
-        xf = _u_lift(U, jnp.asarray(Yu_np)) + xv
-        xf = np.asarray(xf)
+            xv += np.einsum("kdn,dkt->dnt", seg_np[:sl.shape[1]], sl)
+        U_host = np.asarray(basis.U, np.float64)
+        if U_host.shape[0] == 1:
+            xf = np.einsum("nm,dmt->dnt", U_host[0], Yu_np) + xv
+        else:
+            xf = np.einsum("dnm,dmt->dnt", U_host, Yu_np) + xv
     else:
         K_ = od_np.shape[1]
         mask = (np.arange(K_)[None, :, None] < k_done)
