@@ -43,10 +43,12 @@ def main():
                    help="explicit certificate checkpoints (default: geometric from 32)")
     p.add_argument("--no-certify", action="store_true")
     p.add_argument("--storage", default="auto",
-                   choices=["auto", "full", "twopass", "segmented"],
+                   choices=["auto", "full", "twopass", "segmented", "df64"],
                    help="basis storage; pass 'twopass' with --cpu to finish "
                         "a crashed TPU run entirely on host from its "
                         "state cache")
+    p.add_argument("--sweep-every", type=int, default=1,
+                   help="df64 storage: full-reorth stride inside the kernel")
     p.add_argument("--project-every", type=int, default=1,
                    help="run the U-projection GEMM every p-th Lanczos step "
                         "(twopass storage; leak is measured and recorded)")
@@ -109,6 +111,7 @@ def main():
                             state_cache=state_cache,
                             project_every=args.project_every,
                             storage=args.storage,
+                            sweep_every=args.sweep_every,
                             verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0

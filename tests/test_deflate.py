@@ -415,3 +415,28 @@ def test_segmented_storage_matches_full():
     r2 = tk.solve_deflated(op, b, tk.SolverConfig(kmax=24, tol=1e-12), m=6,
                            storage="segmented", segment=8, checkpoints=[13])
     assert all(c % 8 == 0 for c in r2.checkpoints)
+
+
+def test_df64_storage_matches_full_and_certifies():
+    """storage='df64' (f32 hi/lo pair basis + in-kernel strided full
+    reorthogonalization — THE flagship TPU mode) must match storage='full',
+    keep the measured pre-sweep overlap at roundoff, and produce a
+    cross-check that AGREES with the dense-oracle truth (the property the
+    twopass/segmented modes measurably lack at scale)."""
+    op = tk.laplace(2, 64, shift=30.0)
+    b = tk.random_rhs(2, 64, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = tk.SolverConfig(kmax=24, tol=1e-12)
+    rf = tk.solve_deflated(op, b, cfg, m=6, storage="full")
+    rd = tk.solve_deflated(op, b, cfg, m=6, storage="df64")
+    tf = tk.kron_residual_dense(op, rf.x, np.asarray(b))
+    td = tk.kron_residual_dense(op, rd.x, np.asarray(b))
+    assert abs(td - tf) / tf < 1e-3
+    assert td <= rd.certified_bound[-1] + 1e-12
+    assert rd.boundary_drift_max < 1e-9           # pre-sweep overlap
+    # the basis-free cross-check resolves the true residual
+    assert abs(rd.measured_cp_residual - td) < 1e-3 * td + rd.cp_residual_floor
+    # strided sweeps stay equivalent (overlap grows but is removed)
+    r4 = tk.solve_deflated(op, b, cfg, m=6, storage="df64", sweep_every=4)
+    t4 = tk.kron_residual_dense(op, r4.x, np.asarray(b))
+    assert abs(t4 - tf) / tf < 1e-3
