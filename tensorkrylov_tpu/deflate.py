@@ -626,8 +626,7 @@ def _split32(x):
 def _df64_dot_kd(Vh, Vl, u, pdt):
     """w[k, d] = ⟨V[k, d, :], u[d, :]⟩ with V stored as an f32 pair:
     three exact-f32-product einsums accumulated in f64 on the MXU
-    (measured: 7.5e-15 relative — f64-grade at ~100 TFLOPS, no f64
-    emulation and no operand splat)."""
+    (measured: 7.5e-15 relative — f64-grade at ~100 TFLOPS)."""
     uh, ul = _split32(u)
     return (
         jnp.einsum("kdn,dn->kd", Vh, uh, preferred_element_type=pdt)
@@ -644,6 +643,51 @@ def _df64_expand_dn(Vh, Vl, w, pdt):
         + jnp.einsum("kdn,kd->dn", Vh, wl, preferred_element_type=pdt)
         + jnp.einsum("kdn,kd->dn", Vl, wh, preferred_element_type=pdt)
     )
+
+
+# columns per chunk of the in-kernel df64 sweeps: even f32-operand einsums
+# with preferred_element_type=f64 splat the big operand into 8 f32
+# components on this backend (measured: the full-K sweep broadcast wanted
+# 56 GB); chunked fori_loop bodies bound the splat to ~8·C·d·n·4 bytes
+_DF64_SWEEP_COLS = 32
+
+
+def _df64_sweep_chunked(Vh, Vl, u, k, K, C, pdt):
+    """Full CGS sweep of u against columns < k of the df64 pair, processed
+    as a fori_loop over C-column chunks (Vh/Vl rows padded to a multiple of
+    C·d by the allocator). Returns (corrected u, max pre-sweep overlap)."""
+    d, n = u.shape
+    nch = Vh.shape[0] // (C * d)
+    uh, ul = _split32(u)
+
+    def wbody(ci, w):
+        r0 = ci * (C * d)
+        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n)).reshape(C, d, n)
+        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n)).reshape(C, d, n)
+        wc = (jnp.einsum("kdn,dn->kd", Vhc, uh, preferred_element_type=pdt)
+              + jnp.einsum("kdn,dn->kd", Vhc, ul, preferred_element_type=pdt)
+              + jnp.einsum("kdn,dn->kd", Vlc, uh, preferred_element_type=pdt))
+        return lax.dynamic_update_slice(w, wc, (ci * C, 0))
+
+    w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch * C, d), pdt))
+    w = w * (jnp.arange(nch * C)[:, None] < k).astype(pdt)
+    overlap = jnp.max(jnp.abs(w))
+    wh, wl = _split32(w)
+
+    def cbody(ci, corr):
+        r0 = ci * (C * d)
+        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n)).reshape(C, d, n)
+        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n)).reshape(C, d, n)
+        whc = lax.dynamic_slice(wh, (ci * C, 0), (C, d))
+        wlc = lax.dynamic_slice(wl, (ci * C, 0), (C, d))
+        return corr + (
+            jnp.einsum("kdn,kd->dn", Vhc, whc, preferred_element_type=pdt)
+            + jnp.einsum("kdn,kd->dn", Vhc, wlc, preferred_element_type=pdt)
+            + jnp.einsum("kdn,kd->dn", Vlc, whc, preferred_element_type=pdt)
+        )
+
+    corr = lax.fori_loop(0, nch, cbody, jnp.zeros((d, n), pdt))
+    return u - corr, overlap
 
 
 class _Df64State(NamedTuple):
@@ -692,18 +736,32 @@ def _advance_df64(op, st: _Df64State, b_perp, Uh, Ul, k0, k1,
         alpha = jnp.einsum("dn,dn->d", u, st.vp, preferred_element_type=pdt)
         u = u - alpha[:, None] * st.vp
         # deflation projection (df64: U as f32 pair — no emulated GEMM)
+        m_ = Uh.shape[1]
+        Cm = max(1, min(m_, (1 << 22) // max(1, n // 32)))  # ~bounded splat
+
         def proj(u):
-            uh, ul = _split32(u)
-            w = (jnp.einsum("nm,dn->dm", Uh, uh, preferred_element_type=pdt)
-                 + jnp.einsum("nm,dn->dm", Uh, ul, preferred_element_type=pdt)
-                 + jnp.einsum("nm,dn->dm", Ul, uh, preferred_element_type=pdt))
-            wh, wl = _split32(w)
-            corr = (jnp.einsum("nm,dm->dn", Uh, wh, preferred_element_type=pdt)
-                    + jnp.einsum("nm,dm->dn", Uh, wl, preferred_element_type=pdt)
-                    + jnp.einsum("nm,dm->dn", Ul, wh, preferred_element_type=pdt))
             un = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt))
-            leak = jnp.max(jnp.max(jnp.abs(w), axis=1) / (un + 1e-300))
-            return u - corr, leak
+            wmax = jnp.zeros((d,), pdt)
+            nchm = -(-m_ // Cm)
+
+            def pbody(ci, carry):
+                u, wmax = carry
+                c0 = ci * Cm
+                Uhc = lax.dynamic_slice(Uh, (0, c0), (n, Cm))
+                Ulc = lax.dynamic_slice(Ul, (0, c0), (n, Cm))
+                uh, ul = _split32(u)
+                w = (jnp.einsum("nm,dn->dm", Uhc, uh, preferred_element_type=pdt)
+                     + jnp.einsum("nm,dn->dm", Uhc, ul, preferred_element_type=pdt)
+                     + jnp.einsum("nm,dn->dm", Ulc, uh, preferred_element_type=pdt))
+                wh, wl = _split32(w)
+                corr = (jnp.einsum("nm,dm->dn", Uhc, wh, preferred_element_type=pdt)
+                        + jnp.einsum("nm,dm->dn", Uhc, wl, preferred_element_type=pdt)
+                        + jnp.einsum("nm,dm->dn", Ulc, wh, preferred_element_type=pdt))
+                return (u - corr, jnp.maximum(wmax, jnp.max(jnp.abs(w), axis=1)))
+
+            u, wmax = lax.fori_loop(0, nchm, pbody, (u, wmax))
+            leak = jnp.max(wmax / (un + 1e-300))
+            return u, leak
 
         if project_every > 1:
             u, leak = lax.cond(
@@ -714,15 +772,10 @@ def _advance_df64(op, st: _Df64State, b_perp, Uh, Ul, k0, k1,
             u, leak = proj(u)
         leak = jnp.maximum(st.leak, leak)
 
-        Vh3 = st.Vh.reshape(K, d, n)
-        Vl3 = st.Vl.reshape(K, d, n)
-
         def sweep(u):
-            w = _df64_dot_kd(Vh3, Vl3, u, pdt)
-            mask = (jnp.arange(K)[:, None] < k).astype(pdt)
-            w = w * mask
-            ov = jnp.max(jnp.abs(w))
-            return u - _df64_expand_dn(Vh3, Vl3, w, pdt), ov
+            return _df64_sweep_chunked(
+                st.Vh, st.Vl, u, k, K, _DF64_SWEEP_COLS, pdt
+            )
 
         if sweep_every > 1:
             u, ov = lax.cond(
@@ -1440,8 +1493,9 @@ def solve_deflated(
             v0 = b_perp / jnp.where(b_norms_d > 0, b_norms_d, 1.0)[:, None]
             d_, n_ = b_perp.shape
             vh0, vl0 = _split32(v0)
-            Vh0 = jnp.zeros(((kmax + 1) * d_, n_), jnp.float32)
-            Vl0 = jnp.zeros(((kmax + 1) * d_, n_), jnp.float32)
+            K_pad = -(-(kmax + 1) // _DF64_SWEEP_COLS) * _DF64_SWEEP_COLS
+            Vh0 = jnp.zeros((K_pad * d_, n_), jnp.float32)
+            Vl0 = jnp.zeros((K_pad * d_, n_), jnp.float32)
             Vh0 = lax.dynamic_update_slice(Vh0, vh0, (0, 0))
             Vl0 = lax.dynamic_update_slice(Vl0, vl0, (0, 0))
             state = _Df64State(
