@@ -737,7 +737,9 @@ def _advance_df64(op, st: _Df64State, b_perp, Uh, Ul, k0, k1,
         u = u - alpha[:, None] * st.vp
         # deflation projection (df64: U as f32 pair — no emulated GEMM)
         m_ = Uh.shape[1]
-        Cm = max(1, min(m_, (1 << 22) // max(1, n // 32)))  # ~bounded splat
+        # hard cap: the pref-f64 dot splats the f32 operand 8x in HBM —
+        # 128 columns at n=131072 bounds the temp to ~0.5 GB
+        Cm = min(m_, 128)
 
         def proj(u):
             un = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt))
