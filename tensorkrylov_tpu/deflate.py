@@ -649,7 +649,7 @@ def _df64_expand_dn(Vh, Vl, w, pdt):
 # with preferred_element_type=f64 splat the big operand into 8 f32
 # components on this backend (measured: the full-K sweep broadcast wanted
 # 56 GB); chunked fori_loop bodies bound the splat to ~8·C·d·n·4 bytes
-_DF64_SWEEP_COLS = 32
+_DF64_SWEEP_COLS = 16
 
 
 def _df64_sweep_chunked(Vh, Vl, u, k, K, C, pdt):
@@ -660,13 +660,20 @@ def _df64_sweep_chunked(Vh, Vl, u, k, K, C, pdt):
     nch = Vh.shape[0] // (C * d)
     uh, ul = _split32(u)
 
+    # 2-D chunk operands on purpose: a 3-D (C, d, n) chunk makes the
+    # pref-f64 splat temp pay the d→16 sublane padding (1.6×); the 2-D
+    # (C·d, n) form computes a d×-redundant (C·d, d) product on the MXU
+    # (free) and selects the matching-factor entries
+    eye_d = jnp.eye(d, dtype=pdt)
+
     def wbody(ci, w):
         r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n)).reshape(C, d, n)
-        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n)).reshape(C, d, n)
-        wc = (jnp.einsum("kdn,dn->kd", Vhc, uh, preferred_element_type=pdt)
-              + jnp.einsum("kdn,dn->kd", Vhc, ul, preferred_element_type=pdt)
-              + jnp.einsum("kdn,dn->kd", Vlc, uh, preferred_element_type=pdt))
+        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
+        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
+        full = (jnp.einsum("Kn,dn->Kd", Vhc, uh, preferred_element_type=pdt)
+                + jnp.einsum("Kn,dn->Kd", Vhc, ul, preferred_element_type=pdt)
+                + jnp.einsum("Kn,dn->Kd", Vlc, uh, preferred_element_type=pdt))
+        wc = jnp.einsum("kid,id->ki", full.reshape(C, d, d), eye_d)
         return lax.dynamic_update_slice(w, wc, (ci * C, 0))
 
     w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch * C, d), pdt))
@@ -676,14 +683,17 @@ def _df64_sweep_chunked(Vh, Vl, u, k, K, C, pdt):
 
     def cbody(ci, corr):
         r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n)).reshape(C, d, n)
-        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n)).reshape(C, d, n)
+        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
+        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
         whc = lax.dynamic_slice(wh, (ci * C, 0), (C, d))
         wlc = lax.dynamic_slice(wl, (ci * C, 0), (C, d))
+        # scatter w onto the matching-factor rows: Wfull[k·d+i, j] = w[k,i]·δij
+        Wh_full = (whc[:, :, None] * eye_d).reshape(C * d, d).astype(jnp.float32)
+        Wl_full = (wlc[:, :, None] * eye_d).reshape(C * d, d).astype(jnp.float32)
         return corr + (
-            jnp.einsum("kdn,kd->dn", Vhc, whc, preferred_element_type=pdt)
-            + jnp.einsum("kdn,kd->dn", Vhc, wlc, preferred_element_type=pdt)
-            + jnp.einsum("kdn,kd->dn", Vlc, whc, preferred_element_type=pdt)
+            jnp.einsum("Kn,Kd->dn", Vhc, Wh_full, preferred_element_type=pdt)
+            + jnp.einsum("Kn,Kd->dn", Vhc, Wl_full, preferred_element_type=pdt)
+            + jnp.einsum("Kn,Kd->dn", Vlc, Wh_full, preferred_element_type=pdt)
         )
 
     corr = lax.fori_loop(0, nch, cbody, jnp.zeros((d, n), pdt))
