@@ -722,19 +722,16 @@ class _Df64State(NamedTuple):
 
 @functools.partial(
     jax.jit, donate_argnums=(1,),
-    static_argnames=("project_every", "sweep_every"),
+    static_argnames=("project_every",),
 )
 def _advance_df64(op, st: _Df64State, b_perp, Uh, Ul, k0, k1,
-                  project_every: int = 1, sweep_every: int = 1):
-    """Deflated Lanczos with df64 basis storage and strided FULL
-    reorthogonalization (sweep_every): at each swept step the working
-    vector is orthogonalized against EVERY stored column (columns < k,
-    including v₀ at k=0) via the three-product df64 GEMV pair. The max
-    pre-sweep overlap is carried as drift evidence — with per-step or
-    small-stride sweeps the stored basis itself stays orthonormal to
-    ~storage precision, which is what the twopass and boundary-reorth
-    modes could not guarantee (both measured: certified bound violated by
-    the basis-free cross-check; this mode is the certifying one)."""
+                  project_every: int = 1):
+    """Deflated Lanczos writing the df64-pair basis (no in-kernel sweeps —
+    the FULL reorthogonalization runs as the standalone chunked
+    _df64_sweep_pair between short advance calls, which also REWRITES the
+    stored rows of the cleaned columns so the basis never holds a stale
+    copy; a deeply nested in-kernel sweep was measured to kill the
+    tunneled worker at flagship shape)."""
     from .ops.banded import spmv
 
     pdt = st.vp.dtype
@@ -784,20 +781,7 @@ def _advance_df64(op, st: _Df64State, b_perp, Uh, Ul, k0, k1,
             u, leak = proj(u)
         leak = jnp.maximum(st.leak, leak)
 
-        def sweep(u):
-            return _df64_sweep_chunked(
-                st.Vh, st.Vl, u, k, K, _DF64_SWEEP_COLS, pdt
-            )
-
-        if sweep_every > 1:
-            u, ov = lax.cond(
-                k % sweep_every == 0, sweep,
-                lambda u: (u, jnp.zeros((), pdt)), u,
-            )
-        else:
-            u, ov = sweep(u)
-        overlap = jnp.maximum(st.sweep_overlap, ov)
-
+        overlap = st.sweep_overlap
         beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt)
         ub = jnp.einsum("dn,dn->d", u, b_perp, preferred_element_type=pdt)
         beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
@@ -817,6 +801,76 @@ def _advance_df64(op, st: _Df64State, b_perp, Uh, Ul, k0, k1,
                           overlap, Vh, Vl)
 
     return lax.fori_loop(k0, k1, body, st)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _df64_sweep_pair(Vh, Vl, vp, vpp, k):
+    """FULL reorthogonalization of the two working vectors against every
+    stored df64 column (< k−1, excluding themselves), as ONE bounded jit
+    call (f32 pair args — no X64-split; chunked fori bodies bound the
+    pref-f64 splat). The cleaned, renormalized vectors OVERWRITE their own
+    stored rows (columns k−1 and k−2), so stored basis and live recurrence
+    stay identical. Returns (Vh, Vl, vp, vpp, max pre-sweep overlap)."""
+    pdt = vp.dtype
+    d, n = vp.shape
+    C = _DF64_SWEEP_COLS
+    W = jnp.stack([vp, vpp])                       # (2, d, n)
+    uh0, ul0 = _split32(W.reshape(2 * d, n))
+    nch = Vh.shape[0] // (C * d)
+    eye_d = jnp.eye(d, dtype=pdt)
+
+    def wbody(ci, w):
+        r0 = ci * (C * d)
+        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
+        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
+        full = (jnp.einsum("Kn,rn->Kr", Vhc, uh0, preferred_element_type=pdt)
+                + jnp.einsum("Kn,rn->Kr", Vhc, ul0, preferred_element_type=pdt)
+                + jnp.einsum("Kn,rn->Kr", Vlc, uh0, preferred_element_type=pdt))
+        # full (C·d, 2·d) → keep matching-factor entries per working vector
+        f4 = full.reshape(C, d, 2, d)
+        wc = jnp.stack([
+            jnp.einsum("kid,id->ki", f4[:, :, 0, :], eye_d),
+            jnp.einsum("kid,id->ki", f4[:, :, 1, :], eye_d),
+        ], axis=1)                                   # (C, 2, d)
+        return lax.dynamic_update_slice(w, wc, (ci * C, 0, 0))
+
+    w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch * C, 2, d), pdt))
+    w = w * (jnp.arange(nch * C)[:, None, None] < k - 2).astype(pdt)
+    overlap = jnp.max(jnp.abs(w))
+    wh, wl = _split32(w)
+
+    def cbody(ci, corr):
+        r0 = ci * (C * d)
+        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
+        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
+        whc = lax.dynamic_slice(wh, (ci * C, 0, 0), (C, 2, d))
+        wlc = lax.dynamic_slice(wl, (ci * C, 0, 0), (C, 2, d))
+        Wh_full = jnp.einsum("krd,de->kdre", whc, eye_d).reshape(C * d, 2 * d)
+        Wl_full = jnp.einsum("krd,de->kdre", wlc, eye_d).reshape(C * d, 2 * d)
+        return corr + (
+            jnp.einsum("Kn,Kr->rn", Vhc, Wh_full.astype(jnp.float32),
+                       preferred_element_type=pdt)
+            + jnp.einsum("Kn,Kr->rn", Vhc, Wl_full.astype(jnp.float32),
+                         preferred_element_type=pdt)
+            + jnp.einsum("Kn,Kr->rn", Vlc, Wh_full.astype(jnp.float32),
+                         preferred_element_type=pdt)
+        )
+
+    corr = lax.fori_loop(0, nch, cbody, jnp.zeros((2 * d, n), pdt))
+    W = W.reshape(2 * d, n) - corr
+    W = W.reshape(2, d, n)
+    nrm = jnp.sqrt(jnp.einsum("rdn,rdn->rd", W, W, preferred_element_type=pdt))
+    W = W / jnp.where(nrm > 0, nrm, 1.0)[:, :, None]
+    vp2, vpp2 = W[0], W[1]
+    # overwrite the stored rows of columns k-1 (vp) and k-2 (vpp)
+    vh1, vl1 = _split32(vp2)
+    vh2, vl2 = _split32(vpp2)
+    zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
+    Vh = lax.dynamic_update_slice(Vh, vh1, ((k - 1) * d, zero))
+    Vl = lax.dynamic_update_slice(Vl, vl1, ((k - 1) * d, zero))
+    Vh = lax.dynamic_update_slice(Vh, vh2, ((k - 2) * d, zero))
+    Vl = lax.dynamic_update_slice(Vl, vl2, ((k - 2) * d, zero))
+    return Vh, Vl, vp2, vpp2, overlap
 
 
 class Pass2Audit(NamedTuple):
@@ -1588,13 +1642,25 @@ def solve_deflated(
                 )
                 k_prev = ck + 1
             elif storage == "df64":
-                state = _advance_df64(
-                    op_c, state, b_perp, Uh, Ul,
-                    jnp.asarray(k_prev, jnp.int32),
-                    jnp.asarray(ck + 1, jnp.int32),
-                    project_every=project_every, sweep_every=sweep_every,
-                )
-                k_prev = ck + 1
+                while k_prev <= ck:
+                    k_next = min(k_prev + max(int(sweep_every), 1), ck + 1)
+                    state = _advance_df64(
+                        op_c, state, b_perp, Uh, Ul,
+                        jnp.asarray(k_prev, jnp.int32),
+                        jnp.asarray(k_next, jnp.int32),
+                        project_every=project_every,
+                    )
+                    k_prev = k_next
+                    Vh2, Vl2, vp2, vpp2, ov = _df64_sweep_pair(
+                        state.Vh, state.Vl, state.vp, state.vpp,
+                        jnp.asarray(k_prev, jnp.int32),
+                    )
+                    state = state._replace(
+                        Vh=Vh2, Vl=Vl2, vp=vp2, vpp=vpp2,
+                        sweep_overlap=jnp.maximum(
+                            state.sweep_overlap, ov
+                        ),
+                    )
             elif storage == "segmented":
                 while k_prev <= ck:
                     state, Vseg = _advance_light_store(
