@@ -816,13 +816,20 @@ def _df64_sweep_pair(Vh, Vl, vp, vpp, k):
     C = _DF64_SWEEP_COLS
     W = jnp.stack([vp, vpp])                       # (2, d, n)
     uh0, ul0 = _split32(W.reshape(2 * d, n))
-    nch = Vh.shape[0] // (C * d)
+    # only the ACTIVE prefix participates: dynamic trip count ceil(k/C)
+    # (the padded tail is zero anyway; early sweeps cost ~k/K of the full
+    # pass — halves the total sweep work over a run)
+    nch = jnp.minimum(
+        jnp.asarray((k + C - 1) // C, jnp.int32), Vh.shape[0] // (C * d)
+    )
     eye_d = jnp.eye(d, dtype=pdt)
 
     def wbody(ci, w):
+        ci = jnp.asarray(ci, jnp.int32)
+        z32 = jnp.zeros((), jnp.int32)
         r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
-        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
+        Vhc = lax.dynamic_slice(Vh, (r0, z32), (C * d, n))
+        Vlc = lax.dynamic_slice(Vl, (r0, z32), (C * d, n))
         full = (jnp.einsum("Kn,rn->Kr", Vhc, uh0, preferred_element_type=pdt)
                 + jnp.einsum("Kn,rn->Kr", Vhc, ul0, preferred_element_type=pdt)
                 + jnp.einsum("Kn,rn->Kr", Vlc, uh0, preferred_element_type=pdt))
@@ -832,19 +839,22 @@ def _df64_sweep_pair(Vh, Vl, vp, vpp, k):
             jnp.einsum("kid,id->ki", f4[:, :, 0, :], eye_d),
             jnp.einsum("kid,id->ki", f4[:, :, 1, :], eye_d),
         ], axis=1)                                   # (C, 2, d)
-        return lax.dynamic_update_slice(w, wc, (ci * C, 0, 0))
+        return lax.dynamic_update_slice(w, wc, (ci * C, z32, z32))
 
-    w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch * C, 2, d), pdt))
-    w = w * (jnp.arange(nch * C)[:, None, None] < k - 2).astype(pdt)
+    nch_max = Vh.shape[0] // (C * d)
+    w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch_max * C, 2, d), pdt))
+    w = w * (jnp.arange(nch_max * C)[:, None, None] < k - 2).astype(pdt)
     overlap = jnp.max(jnp.abs(w))
     wh, wl = _split32(w)
 
     def cbody(ci, corr):
+        ci = jnp.asarray(ci, jnp.int32)
+        z32 = jnp.zeros((), jnp.int32)
         r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
-        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
-        whc = lax.dynamic_slice(wh, (ci * C, 0, 0), (C, 2, d))
-        wlc = lax.dynamic_slice(wl, (ci * C, 0, 0), (C, 2, d))
+        Vhc = lax.dynamic_slice(Vh, (r0, z32), (C * d, n))
+        Vlc = lax.dynamic_slice(Vl, (r0, z32), (C * d, n))
+        whc = lax.dynamic_slice(wh, (ci * C, z32, z32), (C, 2, d))
+        wlc = lax.dynamic_slice(wl, (ci * C, z32, z32), (C, 2, d))
         Wh_full = jnp.einsum("krd,de->kdre", whc, eye_d).reshape(C * d, 2 * d)
         Wl_full = jnp.einsum("krd,de->kdre", wlc, eye_d).reshape(C * d, 2 * d)
         return corr + (
