@@ -40,7 +40,7 @@ _HP = 128  # halo padding, lane-aligned
 
 
 def _kernel(bands_ref, v_ref, out_ref, buf0, buf1, *, offsets, n, m, scale):
-    j = pl.program_id(1)
+    j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
@@ -53,7 +53,7 @@ def _kernel(bands_ref, v_ref, out_ref, buf0, buf1, *, offsets, n, m, scale):
         acc = None
         for b, off in enumerate(offsets):
             sl = src_ref[:, _HP + off:_HP + off + n]
-            term = bands_ref[:, b, :] * sl
+            term = bands_ref[b:b + 1, :] * sl
             acc = term if acc is None else acc + term
         dst_ref[:, _HP:_HP + n] = acc * scale
 
@@ -75,30 +75,37 @@ def _kernel(bands_ref, v_ref, out_ref, buf0, buf1, *, offsets, n, m, scale):
 
 @functools.partial(jax.jit, static_argnames=("offsets", "m", "scale"))
 def _multi_apply(bands, v, offsets: Tuple[int, ...], m: int, scale: float):
+    """One pallas_call PER FACTOR (Mosaic requires block dims to be
+    (8,128)-divisible or full-array — a (1, n) slice of a (d, n) array is
+    neither, so the factor axis cannot ride the grid); the m applies are
+    the grid, over which bands and the ping-pong vector stay VMEM-resident."""
     d, nb, n = bands.shape
     kernel = functools.partial(
         _kernel, offsets=offsets, n=n, m=m, scale=float(scale)
     )
+    outs = []
     # x64 disabled at trace time: Pallas index math must stay int32 for
     # Mosaic (same constraint as banded_spmv.py)
     with jax.enable_x64(False):
-        return pl.pallas_call(
-            kernel,
-            grid=(d, m),
-            in_specs=[
-                pl.BlockSpec((1, nb, n), lambda s, j: (s, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n), lambda s, j: (s, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, n), lambda s, j: (s, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((d, n), v.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((1, n + 2 * _HP), v.dtype),
-                pltpu.VMEM((1, n + 2 * _HP), v.dtype),
-            ],
-        )(bands, v)
+        for s in range(d):
+            outs.append(pl.pallas_call(
+                kernel,
+                grid=(m,),
+                in_specs=[
+                    pl.BlockSpec((nb, n), lambda j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, n), lambda j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, n), lambda j: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, n), v.dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((1, n + 2 * _HP), v.dtype),
+                    pltpu.VMEM((1, n + 2 * _HP), v.dtype),
+                ],
+            )(bands[s], v[s:s + 1]))
+    return jnp.concatenate(outs, axis=0)
 
 
 def spmv_multi_apply_xla(op: KroneckerSumOperator, v: jax.Array, m: int,
