@@ -104,6 +104,9 @@ def _multi_apply(bands, v, offsets: Tuple[int, ...], m: int, scale: float):
                     pltpu.VMEM((1, n + 2 * _HP), v.dtype),
                     pltpu.VMEM((1, n + 2 * _HP), v.dtype),
                 ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
             )(bands[s], v[s:s + 1]))
     return jnp.concatenate(outs, axis=0)
 
