@@ -191,9 +191,12 @@ def main():
 
     # HBM roofline models (v5e ~819 GB/s): 'stream' re-reads the 3 band
     # arrays + v and writes u every apply (5 f32 arrays of d·n);
-    # 'bands_resident' assumes XLA keeps the bands in VMEM across the scan
-    # (only v in + u out cross HBM). Measured values between the two mean
-    # partial band residency — state the model instead of implying >100%.
+    # 'bands_resident' assumes the bands stay in VMEM across the scan
+    # (only v in + u out cross HBM). Values between the two mean partial
+    # band residency; values ABOVE bands_resident mean the resident Pallas
+    # kernel won — it keeps the working vector in VMEM too, so NO HBM
+    # traffic occurs between applies and the bound is VPU compute, not
+    # bandwidth (measured r3: 825 Gnnz/s = 2.7x the bands-resident model).
     elem = 4  # f32 (the measurement's dtype)
     hbm = 819e9
     stream = nnz / ((5 * SPMV_D * SPMV_N * elem) / hbm) / 1e9
