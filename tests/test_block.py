@@ -43,6 +43,7 @@ def _rand_block(R, d, n, seed):
     return B / np.linalg.norm(B, axis=2, keepdims=True)
 
 
+@pytest.mark.slow
 def test_block_spd_oracle():
     op = tk.laplace(2, 30)
     B = _rand_block(3, 2, 30, 5)

@@ -44,6 +44,7 @@ def test_pack_matches_raw_files(tables):
     np.testing.assert_allclose(np.asarray(tables.alpha[row, t - 1, :t]), al)
 
 
+@pytest.mark.slow
 def test_bh_approximation_quality(tables):
     """The selected exp-sum must actually achieve its tabulated error on
     [1, R] — validates packing + parsing end to end."""

@@ -112,6 +112,7 @@ def test_host_evaluate_matches_device():
     assert tr <= rh.certified_bound[-1] + 1e-12
 
 
+@pytest.mark.slow
 def test_structured_residual_norm_matches_materialized():
     """cp_residual_norm_accurate (indexed-Gram, memory-bounded) must equal
     cp_norm_accurate(cp_residual(...)) — the flagship-size certify path."""
@@ -315,6 +316,7 @@ def test_deflated_eigh_impl_tridiag_mixed_matches_dense():
     assert true_r <= r_m.certified_bound[-1] + 1e-12
 
 
+@pytest.mark.slow
 def test_pass2_audit_and_cross_check_floor():
     """storage='twopass' must return the replay audit (sampled pairwise Gram
     + replayed-vs-recorded beta deviation) and the cross-check's validity
@@ -374,6 +376,7 @@ def test_tridiag_parts_plus_band_only():
         _tridiag_parts(bad, (0, -1, 1))
 
 
+@pytest.mark.slow
 def test_project_every_stride_matches_per_step():
     """Strided U-projection (the flagship TPU step-cost optimization) must
     reproduce the per-step-projected solve and keep the measured U-leak at
@@ -395,6 +398,7 @@ def test_project_every_stride_matches_per_step():
     assert abs(tf - t1) / max(t1, 1e-300) < 1e-4
 
 
+@pytest.mark.slow
 def test_segmented_storage_matches_full():
     """storage='segmented' (per-segment basis blocks + boundary full
     reorthogonalization — the flagship TPU mode: big f64 buffers never

@@ -21,6 +21,7 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(fl, "_fused_core", fl._fused_core.__wrapped__)
 
 
+@pytest.mark.slow
 def test_fused_core_matches_jnp(interpret_mode):
     d, n = 3, 512
     op = tk.laplace(d, n, dtype=jnp.float32)

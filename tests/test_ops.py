@@ -144,6 +144,7 @@ def test_masked_eigh_matches_minor():
         np.testing.assert_allclose(f[k:], 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_analytic_laplace_extremes():
     d, n = 3, 25
     op = tk.laplace(d, n)

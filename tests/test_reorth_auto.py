@@ -50,6 +50,7 @@ def test_auto_reorth_restores_orthogonality():
     assert loss_auto < 1e-6, loss_auto
 
 
+@pytest.mark.slow
 def test_auto_matches_always_solution_quality(rng):
     op = tk.laplace(3, 24)
     b = jnp.asarray(rng.normal(size=(3, 24)))

@@ -148,6 +148,7 @@ def test_multi_rhs_rank2():
     assert int(mr_bad.status) == int(Status.MAXITER)
 
 
+@pytest.mark.slow
 def test_resumable_matches_and_resumes(tmp_path):
     """Segmented+checkpointed solve must match the single-shot solve exactly,
     and resuming from disk must continue bit-for-bit."""
