@@ -572,17 +572,6 @@ def _sweep_block(Vseg, W, exclude_last: int = 0):
 
 
 @jax.jit
-def _assemble_segment(Vseg, Yv_seg):
-    """xv contribution of one stored segment: Σ_k v_k[s]·Yv[s, k, :].
-    Vseg (S·d, n), Yv_seg (d, S, t) → (d, n, t)."""
-    S, t = Yv_seg.shape[1], Yv_seg.shape[2]
-    d = Yv_seg.shape[0]
-    n = Vseg.shape[1]
-    Vk = Vseg.reshape(S, d, n)
-    return jnp.einsum("kdn,dkt->dnt", Vk.astype(Yv_seg.dtype), Yv_seg)
-
-
-@jax.jit
 def _project_and_renorm(W, U):
     """Boundary reorth epilogue: re-project both working vectors into the
     U-complement and renormalize (correction sizes ≤ drift; the induced β
@@ -614,6 +603,13 @@ def _boundary_reorth(segs, state: _LightState, U):
     return state._replace(vp=W[0], vpp=W[1]), drift
 
 
+# columns per chunk of the df64 sweeps: even f32-operand einsums with
+# preferred_element_type=f64 splat the big operand into 8 f32 components on
+# this backend (measured: a full-K sweep wanted 56 GB); chunked fori bodies
+# bound the splat to ~8·C·d·n·4 bytes
+_DF64_SWEEP_COLS = 16
+
+
 def _split32(x):
     """f64 → (hi, lo) f32 pair: hi = fl32(x), lo = fl32(x − hi). Represents
     x to ~48 bits (rel. 7e-15) in a form that is FREE to cross jit
@@ -621,83 +617,6 @@ def _split32(x):
     hi = x.astype(jnp.float32)
     lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
     return hi, lo
-
-
-def _df64_dot_kd(Vh, Vl, u, pdt):
-    """w[k, d] = ⟨V[k, d, :], u[d, :]⟩ with V stored as an f32 pair:
-    three exact-f32-product einsums accumulated in f64 on the MXU
-    (measured: 7.5e-15 relative — f64-grade at ~100 TFLOPS)."""
-    uh, ul = _split32(u)
-    return (
-        jnp.einsum("kdn,dn->kd", Vh, uh, preferred_element_type=pdt)
-        + jnp.einsum("kdn,dn->kd", Vh, ul, preferred_element_type=pdt)
-        + jnp.einsum("kdn,dn->kd", Vl, uh, preferred_element_type=pdt)
-    )
-
-
-def _df64_expand_dn(Vh, Vl, w, pdt):
-    """corr[d, :] = Σ_k w[k, d]·V[k, d, :] — the expansion twin."""
-    wh, wl = _split32(w)
-    return (
-        jnp.einsum("kdn,kd->dn", Vh, wh, preferred_element_type=pdt)
-        + jnp.einsum("kdn,kd->dn", Vh, wl, preferred_element_type=pdt)
-        + jnp.einsum("kdn,kd->dn", Vl, wh, preferred_element_type=pdt)
-    )
-
-
-# columns per chunk of the in-kernel df64 sweeps: even f32-operand einsums
-# with preferred_element_type=f64 splat the big operand into 8 f32
-# components on this backend (measured: the full-K sweep broadcast wanted
-# 56 GB); chunked fori_loop bodies bound the splat to ~8·C·d·n·4 bytes
-_DF64_SWEEP_COLS = 16
-
-
-def _df64_sweep_chunked(Vh, Vl, u, k, K, C, pdt):
-    """Full CGS sweep of u against columns < k of the df64 pair, processed
-    as a fori_loop over C-column chunks (Vh/Vl rows padded to a multiple of
-    C·d by the allocator). Returns (corrected u, max pre-sweep overlap)."""
-    d, n = u.shape
-    nch = Vh.shape[0] // (C * d)
-    uh, ul = _split32(u)
-
-    # 2-D chunk operands on purpose: a 3-D (C, d, n) chunk makes the
-    # pref-f64 splat temp pay the d→16 sublane padding (1.6×); the 2-D
-    # (C·d, n) form computes a d×-redundant (C·d, d) product on the MXU
-    # (free) and selects the matching-factor entries
-    eye_d = jnp.eye(d, dtype=pdt)
-
-    def wbody(ci, w):
-        r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
-        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
-        full = (jnp.einsum("Kn,dn->Kd", Vhc, uh, preferred_element_type=pdt)
-                + jnp.einsum("Kn,dn->Kd", Vhc, ul, preferred_element_type=pdt)
-                + jnp.einsum("Kn,dn->Kd", Vlc, uh, preferred_element_type=pdt))
-        wc = jnp.einsum("kid,id->ki", full.reshape(C, d, d), eye_d)
-        return lax.dynamic_update_slice(w, wc, (ci * C, 0))
-
-    w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch * C, d), pdt))
-    w = w * (jnp.arange(nch * C)[:, None] < k).astype(pdt)
-    overlap = jnp.max(jnp.abs(w))
-    wh, wl = _split32(w)
-
-    def cbody(ci, corr):
-        r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, 0), (C * d, n))
-        Vlc = lax.dynamic_slice(Vl, (r0, 0), (C * d, n))
-        whc = lax.dynamic_slice(wh, (ci * C, 0), (C, d))
-        wlc = lax.dynamic_slice(wl, (ci * C, 0), (C, d))
-        # scatter w onto the matching-factor rows: Wfull[k·d+i, j] = w[k,i]·δij
-        Wh_full = (whc[:, :, None] * eye_d).reshape(C * d, d).astype(jnp.float32)
-        Wl_full = (wlc[:, :, None] * eye_d).reshape(C * d, d).astype(jnp.float32)
-        return corr + (
-            jnp.einsum("Kn,Kd->dn", Vhc, Wh_full, preferred_element_type=pdt)
-            + jnp.einsum("Kn,Kd->dn", Vhc, Wl_full, preferred_element_type=pdt)
-            + jnp.einsum("Kn,Kd->dn", Vlc, Wh_full, preferred_element_type=pdt)
-        )
-
-    corr = lax.fori_loop(0, nch, cbody, jnp.zeros((d, n), pdt))
-    return u - corr, overlap
 
 
 class _Df64State(NamedTuple):
@@ -718,169 +637,6 @@ class _Df64State(NamedTuple):
     sweep_overlap: jax.Array  # () f64 max pre-sweep |⟨u, v_j⟩| — drift evidence
     Vh: jax.Array    # (K*d, n) f32
     Vl: jax.Array    # (K*d, n) f32
-
-
-@functools.partial(
-    jax.jit, donate_argnums=(1,),
-    static_argnames=("project_every",),
-)
-def _advance_df64(op, st: _Df64State, b_perp, Uh, Ul, k0, k1,
-                  project_every: int = 1):
-    """Deflated Lanczos writing the df64-pair basis (no in-kernel sweeps —
-    the FULL reorthogonalization runs as the standalone chunked
-    _df64_sweep_pair between short advance calls, which also REWRITES the
-    stored rows of the cleaned columns so the basis never holds a stale
-    copy; a deeply nested in-kernel sweep was measured to kill the
-    tunneled worker at flagship shape)."""
-    from .ops.banded import spmv
-
-    pdt = st.vp.dtype
-    d, n = st.vp.shape
-    K = st.dg.shape[1]
-
-    def body(k, st: _Df64State) -> _Df64State:
-        u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
-        alpha = jnp.einsum("dn,dn->d", u, st.vp, preferred_element_type=pdt)
-        u = u - alpha[:, None] * st.vp
-        # deflation projection (df64: U as f32 pair — no emulated GEMM)
-        m_ = Uh.shape[1]
-        # hard cap: the pref-f64 dot splats the f32 operand 8x in HBM —
-        # 128 columns at n=131072 bounds the temp to ~0.5 GB
-        Cm = min(m_, 128)
-
-        def proj(u):
-            un = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt))
-            wmax = jnp.zeros((d,), pdt)
-            nchm = -(-m_ // Cm)
-
-            def pbody(ci, carry):
-                u, wmax = carry
-                c0 = ci * Cm
-                Uhc = lax.dynamic_slice(Uh, (0, c0), (n, Cm))
-                Ulc = lax.dynamic_slice(Ul, (0, c0), (n, Cm))
-                uh, ul = _split32(u)
-                w = (jnp.einsum("nm,dn->dm", Uhc, uh, preferred_element_type=pdt)
-                     + jnp.einsum("nm,dn->dm", Uhc, ul, preferred_element_type=pdt)
-                     + jnp.einsum("nm,dn->dm", Ulc, uh, preferred_element_type=pdt))
-                wh, wl = _split32(w)
-                corr = (jnp.einsum("nm,dm->dn", Uhc, wh, preferred_element_type=pdt)
-                        + jnp.einsum("nm,dm->dn", Uhc, wl, preferred_element_type=pdt)
-                        + jnp.einsum("nm,dm->dn", Ulc, wh, preferred_element_type=pdt))
-                return (u - corr, jnp.maximum(wmax, jnp.max(jnp.abs(w), axis=1)))
-
-            u, wmax = lax.fori_loop(0, nchm, pbody, (u, wmax))
-            leak = jnp.max(wmax / (un + 1e-300))
-            return u, leak
-
-        if project_every > 1:
-            u, leak = lax.cond(
-                k % project_every == 0, proj,
-                lambda u: (u, jnp.zeros((), pdt)), u,
-            )
-        else:
-            u, leak = proj(u)
-        leak = jnp.maximum(st.leak, leak)
-
-        overlap = st.sweep_overlap
-        beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt)
-        ub = jnp.einsum("dn,dn->d", u, b_perp, preferred_element_type=pdt)
-        beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
-        lucky = beta_new < 256.0 * jnp.finfo(pdt).eps * (jnp.abs(alpha) + st.beta + 1e-300)
-        beta_new = jnp.where(lucky, 0.0, beta_new)
-        safe = jnp.where(beta_new > 0, beta_new, 1.0)
-        v_new = jnp.where(lucky[:, None], 0.0, u / safe[:, None])
-
-        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
-        vh, vl = _split32(v_new)
-        Vh = lax.dynamic_update_slice(st.Vh, vh, (k * d, zero))
-        Vl = lax.dynamic_update_slice(st.Vl, vl, (k * d, zero))
-        dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
-        od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
-        btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
-        return _Df64State(dg, od, btil, v_new, st.vp, beta_new, leak,
-                          overlap, Vh, Vl)
-
-    return lax.fori_loop(k0, k1, body, st)
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _df64_sweep_pair(Vh, Vl, vp, vpp, k):
-    """FULL reorthogonalization of the two working vectors against every
-    stored df64 column (< k−1, excluding themselves), as ONE bounded jit
-    call (f32 pair args — no X64-split; chunked fori bodies bound the
-    pref-f64 splat). The cleaned, renormalized vectors OVERWRITE their own
-    stored rows (columns k−1 and k−2), so stored basis and live recurrence
-    stay identical. Returns (Vh, Vl, vp, vpp, max pre-sweep overlap)."""
-    pdt = vp.dtype
-    d, n = vp.shape
-    C = _DF64_SWEEP_COLS
-    W = jnp.stack([vp, vpp])                       # (2, d, n)
-    uh0, ul0 = _split32(W.reshape(2 * d, n))
-    # only the ACTIVE prefix participates: dynamic trip count ceil(k/C)
-    # (the padded tail is zero anyway; early sweeps cost ~k/K of the full
-    # pass — halves the total sweep work over a run)
-    nch = jnp.minimum(
-        jnp.asarray((k + C - 1) // C, jnp.int32), Vh.shape[0] // (C * d)
-    )
-    eye_d = jnp.eye(d, dtype=pdt)
-
-    def wbody(ci, w):
-        ci = jnp.asarray(ci, jnp.int32)
-        z32 = jnp.zeros((), jnp.int32)
-        r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, z32), (C * d, n))
-        Vlc = lax.dynamic_slice(Vl, (r0, z32), (C * d, n))
-        full = (jnp.einsum("Kn,rn->Kr", Vhc, uh0, preferred_element_type=pdt)
-                + jnp.einsum("Kn,rn->Kr", Vhc, ul0, preferred_element_type=pdt)
-                + jnp.einsum("Kn,rn->Kr", Vlc, uh0, preferred_element_type=pdt))
-        # full (C·d, 2·d) → keep matching-factor entries per working vector
-        f4 = full.reshape(C, d, 2, d)
-        wc = jnp.stack([
-            jnp.einsum("kid,id->ki", f4[:, :, 0, :], eye_d),
-            jnp.einsum("kid,id->ki", f4[:, :, 1, :], eye_d),
-        ], axis=1)                                   # (C, 2, d)
-        return lax.dynamic_update_slice(w, wc, (ci * C, z32, z32))
-
-    nch_max = Vh.shape[0] // (C * d)
-    w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch_max * C, 2, d), pdt))
-    w = w * (jnp.arange(nch_max * C)[:, None, None] < k - 2).astype(pdt)
-    overlap = jnp.max(jnp.abs(w))
-    wh, wl = _split32(w)
-
-    def cbody(ci, corr):
-        ci = jnp.asarray(ci, jnp.int32)
-        z32 = jnp.zeros((), jnp.int32)
-        r0 = ci * (C * d)
-        Vhc = lax.dynamic_slice(Vh, (r0, z32), (C * d, n))
-        Vlc = lax.dynamic_slice(Vl, (r0, z32), (C * d, n))
-        whc = lax.dynamic_slice(wh, (ci * C, z32, z32), (C, 2, d))
-        wlc = lax.dynamic_slice(wl, (ci * C, z32, z32), (C, 2, d))
-        Wh_full = jnp.einsum("krd,de->kdre", whc, eye_d).reshape(C * d, 2 * d)
-        Wl_full = jnp.einsum("krd,de->kdre", wlc, eye_d).reshape(C * d, 2 * d)
-        return corr + (
-            jnp.einsum("Kn,Kr->rn", Vhc, Wh_full.astype(jnp.float32),
-                       preferred_element_type=pdt)
-            + jnp.einsum("Kn,Kr->rn", Vhc, Wl_full.astype(jnp.float32),
-                         preferred_element_type=pdt)
-            + jnp.einsum("Kn,Kr->rn", Vlc, Wh_full.astype(jnp.float32),
-                         preferred_element_type=pdt)
-        )
-
-    corr = lax.fori_loop(0, nch, cbody, jnp.zeros((2 * d, n), pdt))
-    W = W.reshape(2 * d, n) - corr
-    W = W.reshape(2, d, n)
-    nrm = jnp.sqrt(jnp.einsum("rdn,rdn->rd", W, W, preferred_element_type=pdt))
-    W = W / jnp.where(nrm > 0, nrm, 1.0)[:, :, None]
-    vp2, vpp2 = W[0], W[1]
-    # overwrite the stored rows of columns k-1 (vp) and k-2 (vpp)
-    vh1, vl1 = _split32(vp2)
-    vh2, vl2 = _split32(vpp2)
-    zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
-    Vh = lax.dynamic_update_slice(Vh, vh1, ((k - 1) * d, zero))
-    Vl = lax.dynamic_update_slice(Vl, vl1, ((k - 1) * d, zero))
-    Vh = lax.dynamic_update_slice(Vh, vh2, ((k - 2) * d, zero))
-    Vl = lax.dynamic_update_slice(Vl, vl2, ((k - 2) * d, zero))
-    return Vh, Vl, vp2, vpp2, overlap
 
 
 @functools.partial(jax.jit, static_argnames=("project_every",))
