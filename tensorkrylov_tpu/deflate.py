@@ -1210,12 +1210,18 @@ def solve_deflated(
     `basis`: pass a precomputed DeflationBasis to amortize the setup across
     solves (m is then ignored).
 
-    storage: 'full' keeps the (d, K, n) basis on device (enables auto-
-    reorth; one pass). 'twopass' never materializes the basis — the
-    recurrence is rerun once after convergence to accumulate the solution
-    (O(d·n·t) memory, no kmax ceiling; the mode the TPU AOT compiler's
-    loop-carry accounting requires at flagship sizes). 'auto' → 'twopass'
-    on TPU, 'full' elsewhere.
+    storage: 'full' keeps the (K·d, n) basis on device (enables auto-
+    reorth; one pass; big f64 jit args — small/medium problems only on
+    TPU, see BASELINE.md r3 X64Split). 'twopass' never materializes the
+    basis — the recurrence is rerun once after convergence to accumulate
+    the solution (O(d·n·t) memory, no kmax ceiling, crash-resumable via
+    state_cache; NO reorthogonalization — estimates only at large k,
+    measured stall in BASELINE.md r3). 'segmented' stores per-segment
+    blocks with boundary reorth (intermediate). 'df64' stores the basis
+    as f32 hi/lo pairs with per-step sweep-then-record full
+    reorthogonalization — the certifying flagship mode on TPU
+    (sweep_every is accepted but ignored: df64 always sweeps every step).
+    'auto' → 'twopass' on TPU, 'full' elsewhere.
 
     mesh: a ('factor', 'mode') jax.sharding.Mesh (parallel.make_mesh) to
     shard the solve: every n-sized array — b⊥, the deflation basis U, the
