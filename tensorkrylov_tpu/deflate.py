@@ -429,7 +429,7 @@ def _project_with_leak(u, U, pdt):
 
     Ua = U.astype(pdt)
     n, m = Ua.shape[1], Ua.shape[2]
-    C = _proj_col_chunk(n, m)
+    C = _proj_col_chunk(Ua.shape[0] * n, m)
     un = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=pdt))
     wmax = jnp.zeros((u.shape[0],), pdt)
     for c0 in range(0, m, C):
@@ -1146,7 +1146,8 @@ def _u_lift(U, Yu):
     from .ops.orth import _proj_col_chunk
 
     n, m = U.shape[1], U.shape[2]
-    C = _proj_col_chunk(n, m)
+    # distinct-factor U slices are (d, n, C): budget d-aware (ADVICE r3)
+    C = _proj_col_chunk(U.shape[0] * n, m)
     out = None
     for c0 in range(0, m, C):
         if U.shape[0] == 1:
@@ -1200,7 +1201,6 @@ def solve_deflated(
     verbose: bool = False,
     pass2_impl: str = "auto",
     segment: int = 32,
-    sweep_every: int = 1,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -1219,8 +1219,9 @@ def solve_deflated(
     measured stall in BASELINE.md r3). 'segmented' stores per-segment
     blocks with boundary reorth (intermediate). 'df64' stores the basis
     as f32 hi/lo pairs with per-step sweep-then-record full
-    reorthogonalization — the certifying flagship mode on TPU
-    (sweep_every is accepted but ignored: df64 always sweeps every step).
+    reorthogonalization — the certifying flagship mode on TPU (the sweep
+    runs every step: BASELINE.md r3 measured that any stride leaves
+    unswept stored columns that break the certificate).
     'auto' → 'twopass' on TPU, 'full' elsewhere.
 
     mesh: a ('factor', 'mode') jax.sharding.Mesh (parallel.make_mesh) to
@@ -1324,8 +1325,8 @@ def solve_deflated(
             f"got {storage!r}"
         )
     if storage == "df64":
-        # per-step (or sweep_every-strided) FULL reorthogonalization against
-        # the df64-pair basis happens inside the advance kernel
+        # per-step FULL reorthogonalization against the df64-pair basis
+        # happens inside the advance kernel
         reorth = "never"
         if mesh is not None:
             raise ValueError("storage='df64' does not support mesh yet")
@@ -1341,7 +1342,10 @@ def solve_deflated(
         segment = int(segment)
         if segment < 1:
             raise ValueError(f"segment must be >= 1, got {segment}")
-        kmax = max(segment, (kmax // segment) * segment)
+        # never RAISE kmax above config.kmax / the Krylov-space dimension
+        # (ADVICE r3: kmax < segment used to round UP into exhausted steps)
+        segment = min(segment, kmax)
+        kmax = (kmax // segment) * segment
         checkpoints = sorted({
             min(max(segment, (ck // segment) * segment), kmax)
             for ck in checkpoints

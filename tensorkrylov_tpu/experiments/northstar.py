@@ -19,6 +19,36 @@ import time
 import numpy as np
 
 
+def interpret_cross_check(measured, floor, certified_bound, tol):
+    """Machine-readable verdict on the basis-free cross-check vs the
+    certificate (ADVICE r3 medium: a measurement ABOVE the certified bound
+    must be labelled a contradiction, not a confirmation).
+
+    Returns one of:
+      '<= floor ...'        — measurement saturated at its own validity floor
+      'confirms ...'        — above floor, at/below the certified bound
+      'within tol ...'      — above the bound but still under the target tol
+      'CONTRADICTS ...'     — above both bound and tol: the (orthonormality-
+                              conditional) certificate failed; trust the
+                              measurement, not the bound
+    """
+    if measured is None:
+        return None
+    floor = floor or 0.0
+    if measured <= floor:
+        return ("<= floor (measurement floored by sqrt(eps64*Gram mass); "
+                "says residual <= floor, nothing finer)")
+    if certified_bound is not None and measured > certified_bound:
+        if measured > tol:
+            return ("above floor AND above certified bound: certificate "
+                    "CONTRADICTED - the bound's basis-orthonormality/"
+                    "working-precision condition failed; true residual is "
+                    "the measured value")
+        return ("above certified bound but within tol: certificate slack "
+                "exceeded while the solve still meets the target")
+    return "above floor: independent basis-free confirmation"
+
+
 def sigma_for_kappa(n: int, kappa: float) -> float:
     lmax = 4.0 * (n + 1) ** 2 * np.sin(n * np.pi / (2 * (n + 1))) ** 2
     lmin = 4.0 * (n + 1) ** 2 * np.sin(np.pi / (2 * (n + 1))) ** 2
@@ -47,8 +77,6 @@ def main():
                    help="basis storage; pass 'twopass' with --cpu to finish "
                         "a crashed TPU run entirely on host from its "
                         "state cache")
-    p.add_argument("--sweep-every", type=int, default=1,
-                   help="df64 storage: full-reorth stride inside the kernel")
     p.add_argument("--project-every", type=int, default=1,
                    help="run the U-projection GEMM every p-th Lanczos step "
                         "(twopass storage; leak is measured and recorded)")
@@ -111,7 +139,6 @@ def main():
                             state_cache=state_cache,
                             project_every=args.project_every,
                             storage=args.storage,
-                            sweep_every=args.sweep_every,
                             verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
@@ -147,12 +174,14 @@ def main():
     if res.pass2_gram_max is not None:
         print(f"pass-2 audit: sampled pairwise gram max {res.pass2_gram_max:.3e}, "
               f"replayed-beta rel dev {res.pass2_beta_rel_dev:.3e}", flush=True)
+    final_bound = res.certified_bound[-1] if res.certified_bound else None
+    cross_interp = interpret_cross_check(
+        res.measured_cp_residual, res.cp_residual_floor, final_bound, args.tol
+    )
     if res.measured_cp_residual is not None:
-        interp = ("below its own measurement floor"
-                  if res.measured_cp_residual <= (res.cp_residual_floor or 0.0)
-                  else "above floor — independent confirmation")
         print(f"measured CP residual cross-check: {res.measured_cp_residual:.3e} "
-              f"(validity floor {res.cp_residual_floor:.3e}; {interp})", flush=True)
+              f"(validity floor {res.cp_residual_floor:.3e}; {cross_interp})",
+              flush=True)
     its = res.niterations / t_solve
     print(f"solve {t_solve:.1f}s ({its:.1f} it/s incl. checkpoints), "
           f"total {wall:.1f}s", flush=True)
@@ -196,14 +225,7 @@ def main():
             "expsum_sup": res.expsum_sup,
             "measured_cp_residual": res.measured_cp_residual,
             "cp_residual_floor": res.cp_residual_floor,
-            "cp_residual_interpretation": (
-                None if res.measured_cp_residual is None else (
-                    "<= floor (measurement floored by sqrt(eps64*Gram mass); "
-                    "says residual <= floor, nothing finer)"
-                    if res.measured_cp_residual <= (res.cp_residual_floor or 0.0)
-                    else "above floor: independent basis-free confirmation"
-                )
-            ),
+            "cp_residual_interpretation": cross_interp,
             "orthogonality_drift": res.orthogonality_drift,
             "pass2_gram_max": res.pass2_gram_max,
             "pass2_beta_rel_dev": res.pass2_beta_rel_dev,

@@ -253,13 +253,17 @@ def deflation_project(u: jax.Array, U: jax.Array, acc) -> jax.Array:
     orthonormal U, and it bounds the f64-emulation splat temp)."""
     Ua = U.astype(acc)
     n, m = Ua.shape[1], Ua.shape[2]
-    C = _proj_col_chunk(n, m)
     if Ua.shape[0] == 1:
+        C = _proj_col_chunk(n, m)
         for c0 in range(0, m, C):
             Uc = Ua[0, :, c0:c0 + C]
             coeff = jnp.einsum("nm,dn->dm", Uc, u, preferred_element_type=acc)
             u = u - jnp.einsum("nm,dm->dn", Uc, coeff, preferred_element_type=acc)
         return u
+    # distinct factors: the einsum operand slice is (d, n, C) — budget the
+    # chunk d-aware so the f64-emulation splat stays within the same cap as
+    # the shared branch (ADVICE r3)
+    C = _proj_col_chunk(Ua.shape[0] * n, m)
     for c0 in range(0, m, C):
         Uc = Ua[:, :, c0:c0 + C]
         coeff = jnp.einsum("snm,sn->sm", Uc, u, preferred_element_type=acc)

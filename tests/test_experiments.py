@@ -34,3 +34,19 @@ def test_perturbed_spectrum():
     P = perturb_eigenvalues(np.array([1.0, 2.0]), 3, 0.1)
     np.testing.assert_allclose(P[0], [1.1, 2.1])
     np.testing.assert_allclose(P[2], [1.3, 2.3])
+
+
+def test_interpret_cross_check_branches():
+    """ADVICE r3 medium: a measurement above the certified bound must be
+    labelled a contradiction, never a confirmation."""
+    from tensorkrylov_tpu.experiments.northstar import interpret_cross_check
+
+    assert interpret_cross_check(None, 1e-9, 1e-9, 1e-8) is None
+    assert "<= floor" in interpret_cross_check(1e-10, 1e-9, 5e-9, 1e-8)
+    assert "confirmation" in interpret_cross_check(3e-9, 1e-9, 5e-9, 1e-8)
+    # the r3 flagship shape: measured 9.8e-6 >> bound 5.4e-9 and tol 1e-8
+    v = interpret_cross_check(9.8e-6, 3e-8, 5.4e-9, 1e-8)
+    assert "CONTRADICTED" in v
+    # above bound but within tol: slack exceeded, target still met
+    v2 = interpret_cross_check(8e-9, 1e-9, 5e-9, 1e-8)
+    assert "within tol" in v2
