@@ -95,6 +95,7 @@ def test_block_r1_matches_scalar_arnoldi():
     )
 
 
+@pytest.mark.slow  # 1.6 s edge case; core block coverage stays fast
 def test_block_kmax_clamped_to_space():
     """kmax·R is clamped to the factor dimension n — no junk iterations."""
     op = tk.laplace(2, 20)

@@ -59,6 +59,7 @@ def test_bh_approximation_quality(tables):
         assert err <= tol * 1.5
 
 
+@pytest.mark.slow  # 1.5 s; covered in spirit by the sup-error sweep above
 def test_bh_ceil_covers_kappa(tables):
     """ceil row selection: chosen R ≥ κ, so the whole spectrum is inside."""
     R = np.asarray(tables.R_values)

@@ -20,6 +20,7 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(ps, "_spmv_pallas", ps._spmv_pallas.__wrapped__)
 
 
+@pytest.mark.slow  # 1.5 s; conv_diff variant below exercises the same kernel
 def test_pallas_spmv_matches_xla(interpret_mode):
     op = tk.laplace(2, 1024, dtype=jnp.float32)
     rng = np.random.default_rng(0)

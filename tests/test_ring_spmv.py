@@ -19,7 +19,10 @@ def _mesh(n=8):
     return Mesh(np.array(devs[:n]), ("mode",))
 
 
-@pytest.mark.parametrize("gallery,seed", [("laplace", 0), ("conv_diff", 1)])
+@pytest.mark.parametrize("gallery,seed", [
+    ("laplace", 0),
+    pytest.param("conv_diff", 1, marks=pytest.mark.slow),  # same ring path
+])
 def test_ring_spmv_matches_xla(gallery, seed):
     n = 8 * 256
     op = getattr(tk, gallery)(3, n, dtype=jnp.float32)

@@ -55,7 +55,11 @@ def test_distinct_factors_and_rhs():
     assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-8
 
 
-@pytest.mark.parametrize("source", ["H", "A_minor", "analytic_laplace"])
+@pytest.mark.parametrize("source", [
+    "H",
+    pytest.param("A_minor", marks=pytest.mark.slow),  # same consistency path
+    "analytic_laplace",
+])
 def test_spectral_sources_consistent(source):
     op = tk.laplace(3, 25)
     b = _normalized_rhs(3, 25, 11)

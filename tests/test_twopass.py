@@ -41,6 +41,7 @@ def test_two_pass_true_residual():
     assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-8
 
 
+@pytest.mark.slow  # distinct factors covered fast by deflate/solver tests
 def test_two_pass_distinct_factors():
     # distinct synthetic spectra per factor, moderate conditioning (plain
     # Lanczos — no reorthogonalization — must still converge)
