@@ -182,10 +182,21 @@ def triple_sub_f64(z: Triple, x) -> Triple:
 
 
 def triple_scale_f64(v: Triple, s) -> Triple:
-    """v * s for an f64 scalar (split exactly; pair product path)."""
+    """v * s for an f64 scalar, split EXACTLY into three f32 components
+    (a 48-bit pair split of s would drop 2^-48 * |s| * |v| — measurably
+    short of f64; the third component st rides in the tail at full f32
+    rate since its contribution is already ~2^-48 of the product)."""
     sh = s.astype(jnp.float32)
-    sl = (s - sh.astype(s.dtype)).astype(jnp.float32)
-    return triple_scale_pair(v, sh, sl)
+    r = s - sh.astype(s.dtype)
+    sl = r.astype(jnp.float32)
+    st = (r - sl.astype(s.dtype)).astype(jnp.float32)
+    p0, e0 = two_prod(v.hi, sh)
+    p1, e1 = two_prod(v.hi, sl)
+    p2, e2 = two_prod(v.md, sh)
+    tail = v.md * sl + v.lo * sh + e1 + e2 + v.hi * st
+    m1, g1 = two_sum(p1, p2)
+    m2, g2 = two_sum(m1, e0)
+    return renorm3(p0, m2, tail + g1 + g2)
 
 
 def triple_round_pair(v: Triple):
