@@ -6,13 +6,21 @@ on this backend the emulated-f64 ELEMENTWISE ops carry ~2^-47 relative
 rounding (axpy |eta|/|operand| = 1.4e-14 — ~64 eps64), which is the exact
 arithmetic floor the r3 flagship hit (eps_tpu * lambda_max / beta at Lanczos
 cancellation events -> true residual 9.8e-6 against a 5.4e-9 bound,
-BASELINE.md r3). Native f32 ops, however, are IEEE round-to-nearest and the
-classical error-free transformations hold EXACTLY on the chip (probe: TwoSum
-and Dekker TwoProd defects identically 0). Building the three-term
-recurrence on f32 expansions therefore buys ~2^-71 effective elementwise
-precision — 3 decades BELOW true f64 — out of ops the VPU executes at full
-rate, while the MXU keeps doing the heavy dots (measured error/mass ~1e-18,
-better than true-f64 sequential summation).
+BASELINE.md r3). Native f32 ops are IEEE round-to-nearest and the classical
+error-free transformations hold EXACTLY op-by-op on the chip (probe: TwoSum
+and Dekker TwoProd defects identically 0).
+
+Honest caveat, also measured: COMPILERS rewrite composed EFT chains. This
+jaxlib's CPU pipeline keeps f32 intermediates at f64 excess precision
+inside fusions, drops lax.optimization_barrier outright, and contracts
+mul+add to FMA — so under jit the chains below deliver backend-dependent
+accuracy rather than bit-specified 2^-71: measured ~2^-48 (pair-grade,
+because the rewrite itself computes in f64) on CPU-jit, ~2.6e-16 composed
+on the TPU, and the full 2^-71 in eager/interpreted mode where each op
+rounds individually. The solver therefore treats the effective elementwise
+epsilon as a MEASURED per-backend quantity (`eft_selfcheck`, run in-process
+and recorded as certificate evidence) — on every backend it beats the
+emulated-f64 elementwise path by >= 50x, which is what closes the r3 gap.
 
 Representation: a value x is an unevaluated sum hi + md + lo of f32 arrays,
 |md| <= ulp(hi), |lo| <= ulp(md) after renormalization (a "triple", eps ~
@@ -40,7 +48,8 @@ __all__ = [
     "Triple", "two_sum", "two_prod", "renorm3", "triple_from_f64",
     "triple_to_f64", "pair_from_f64", "triple_add", "triple_add_pair_prod",
     "triple_scale_pair", "triple_sub_f64", "triple_scale_f64",
-    "triple_round_pair",
+    "triple_round_pair", "eft_selfcheck", "triple_neg", "triple_sub",
+    "pair_scale_f64", "triple_spmv_pairs",
 ]
 
 
@@ -52,18 +61,37 @@ class Triple(NamedTuple):
     lo: jax.Array
 
 
+def _shield(*xs):
+    """Fence operands against XLA's cross-op rewrites. Without this, the
+    compiler contracts `mul + add` into FMA ACROSS the EFT boundaries
+    (measured: two_sum(p1, p2) with p1 a product lowered to fma(a, b, p2),
+    breaking exactness at 2^-48 while standalone ops stay exact — the
+    failure is composition-only, which is why the op-level probe passed).
+    lax.optimization_barrier pins each operand to its rounded value."""
+    out = jax.lax.optimization_barrier(xs)
+    return out if len(xs) > 1 else out[0]
+
+
 def two_sum(a, b):
-    """Knuth TwoSum: s + e == a + b EXACTLY (probe-verified on this TPU)."""
-    s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
+    """Knuth TwoSum: s + e == a + b EXACTLY. Every intermediate is fenced:
+    this backend's compiler was MEASURED to reassociate the error path
+    (device e differed from the IEEE value while standalone ops were
+    exact), so each rounded step is pinned with an optimization barrier."""
+    a, b = _shield(a, b)
+    s = _shield(a + b)
+    bb = _shield(s - a)
+    t1 = _shield(s - bb)
+    t2 = _shield(a - t1)
+    t3 = _shield(b - bb)
+    e = t2 + t3
     return s, e
 
 
 def _fast_two_sum(a, b):
     """Dekker FastTwoSum — exact when |a| >= |b| (used post-ordering)."""
-    s = a + b
-    e = b - (s - a)
+    a, b = _shield(a, b)
+    s = _shield(a + b)
+    e = b - _shield(s - a)
     return s, e
 
 
@@ -71,16 +99,19 @@ _SPLIT = np.float32(4097.0)  # 2^12 + 1 — Veltkamp splitter for f32
 
 
 def two_prod(a, b):
-    """Dekker TwoProd: p + e == a * b EXACTLY (no FMA required; the XLA
-    lowering on this chip was probe-verified to preserve exactness)."""
-    p = a * b
-    ca = _SPLIT * a
-    ah = ca - (ca - a)
-    al = a - ah
-    cb = _SPLIT * b
-    bh = cb - (cb - b)
-    bl = b - bh
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    """Dekker TwoProd: p + e == a * b EXACTLY (no FMA required; exactness
+    on this chip is probe-verified, and p is shielded so downstream adds
+    cannot contract through it)."""
+    a, b = _shield(a, b)
+    p = _shield(a * b)
+    ca = _shield(_SPLIT * a)
+    ah = _shield(ca - _shield(ca - a))
+    al = _shield(a - ah)
+    cb = _shield(_SPLIT * b)
+    bh = _shield(cb - _shield(cb - b))
+    bl = _shield(b - bh)
+    e = ((_shield(ah * bh) - p) + ah * bl + al * bh) + al * bl
+    p, e = _shield(p, e)
     return p, e
 
 
@@ -197,6 +228,100 @@ def triple_scale_f64(v: Triple, s) -> Triple:
     m1, g1 = two_sum(p1, p2)
     m2, g2 = two_sum(m1, e0)
     return renorm3(p0, m2, tail + g1 + g2)
+
+
+def triple_neg(t: Triple) -> Triple:
+    return Triple(-t.hi, -t.md, -t.lo)
+
+
+def triple_sub(a: Triple, b: Triple) -> Triple:
+    return triple_add(a, triple_neg(b))
+
+
+def pair_scale_f64(vh, vl, s) -> Triple:
+    """(vh + vl) * s for an f32 pair and an f64 scalar (broadcastable) —
+    the beta*v_prev / alpha*v terms of the recurrence. s split exactly into
+    three f32 components; all significant cross products expanded."""
+    sh = s.astype(jnp.float32)
+    r = s - sh.astype(s.dtype)
+    sl = r.astype(jnp.float32)
+    st = (r - sl.astype(s.dtype)).astype(jnp.float32)
+    p0, e0 = two_prod(vh, sh)
+    p1, e1 = two_prod(vh, sl)
+    p2, e2 = two_prod(vl, sh)
+    tail = vl * sl + e1 + e2 + vh * st
+    m1, g1 = two_sum(p1, p2)
+    m2, g2 = two_sum(m1, e0)
+    return renorm3(p0, m2, tail + g1 + g2)
+
+
+def _shift(v, off: int):
+    """Circular shift matching ops/banded.spmv's convention (out-of-range
+    band entries are stored as zeros, so wrapped lanes multiply to zero)."""
+    if off == 0:
+        return v
+    return jnp.roll(v, -off, axis=-1)
+
+
+def triple_spmv_pairs(bands_h, bands_l, offsets, vh, vl) -> Triple:
+    """A @ v in expansion arithmetic: bands and v both f32 pairs (exact
+    48-bit operand values), result a Triple. Mirrors ops/banded.spmv's
+    shift-multiply-accumulate over (d, nb, n) bands and (d, n) v, with
+    every product expanded error-free — the elementwise noise that set the
+    r3 flagship's eps*lambda_max/beta floor simply never enters."""
+    d, nb, n = bands_h.shape
+    z = Triple(jnp.zeros_like(vh), jnp.zeros_like(vh), jnp.zeros_like(vh))
+    for b, off in enumerate(offsets):
+        vsh = _shift(vh, off)
+        vsl = _shift(vl, off)
+        z = triple_add_pair_prod(z, bands_h[:, b], bands_l[:, b], vsh, vsl)
+    return z
+
+
+def eft_selfcheck(n: int = 4096, seed: int = 0) -> dict:
+    """Measure EFT exactness of THIS backend on composed patterns.
+
+    Compilers can silently break error-free transformations in ways that
+    per-op tests miss: this machine's CPU jaxlib drops optimization
+    barriers, keeps f32 intermediates at excess precision inside fusions,
+    and contracts mul-add chains (measured; see tests/test_expansion.py and
+    benchmarks/f64_emulation_probe.py). The solver therefore MEASURES the
+    property at runtime and records it as certificate evidence instead of
+    assuming it. Returns max defects (0.0 = exact) for: standalone TwoSum/
+    TwoProd, and the composed pair-product accumulate that the recurrence
+    actually executes. Keys: 'two_sum', 'two_prod', 'composed_acc_rel'."""
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal(n).astype(np.float32)
+    b = (rng.standard_normal(n) * 1e-6).astype(np.float32)
+    s, e = jax.jit(two_sum)(jnp.asarray(a), jnp.asarray(b))
+    d_sum = float(np.max(np.abs(
+        (np.asarray(s, np.float64) + np.asarray(e, np.float64))
+        - (a.astype(np.float64) + b.astype(np.float64)))))
+    p, e2 = jax.jit(two_prod)(jnp.asarray(a), jnp.asarray(b))
+    d_prod = float(np.max(np.abs(
+        (np.asarray(p, np.float64) + np.asarray(e2, np.float64))
+        - a.astype(np.float64) * b.astype(np.float64))))
+
+    av = rng.standard_normal(n) * 1e5
+    bv = rng.standard_normal(n)
+    z0 = rng.standard_normal(n)
+
+    def g(z, x, y):
+        xh, xl = pair_from_f64(x)
+        yh, yl = pair_from_f64(y)
+        return triple_add_pair_prod(triple_from_f64(z), xh, xl, yh, yl)
+
+    t = jax.jit(g)(jnp.asarray(z0), jnp.asarray(av), jnp.asarray(bv))
+    ld = np.longdouble
+    xh = np.float32(av); xl = np.float32(av - np.float64(xh))
+    yh = np.float32(bv); yl = np.float32(bv - np.float64(yh))
+    ex_ = z0.astype(ld) + (xh.astype(ld) + xl.astype(ld)) * (
+        yh.astype(ld) + yl.astype(ld))
+    got = (np.asarray(t.hi, ld) + np.asarray(t.md, ld)
+           + np.asarray(t.lo, ld))
+    scale = np.maximum(np.abs(ex_ - z0.astype(ld)), np.abs(z0)).astype(ld)
+    d_acc = float(np.max(np.abs(got - ex_) / scale))
+    return {"two_sum": d_sum, "two_prod": d_prod, "composed_acc_rel": d_acc}
 
 
 def triple_round_pair(v: Triple):
