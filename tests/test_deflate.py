@@ -440,3 +440,31 @@ def test_df64_storage_matches_full_and_certifies():
     assert rd.boundary_drift_max < 1e-9           # pre-sweep overlap
     # the basis-free cross-check resolves the true residual
     assert abs(rd.measured_cp_residual - td) < 1e-3 * td + rd.cp_residual_floor
+    # v2 noise-recording evidence: full-Gram orthonormality bound, recorded
+    # perturbation magnitude, measured relation terms, in-process EFT eps
+    assert rd.gram_deviation is not None and rd.gram_deviation < 1e-12
+    assert rd.perturbation_rho is not None and rd.perturbation_rho < 1e-8
+    assert 0.0 <= rd.relation_dev_term < 1e-10
+    assert 0.0 <= rd.relation_eta_term < 1e-10
+    assert rd.eft_eps_measured is not None
+    # the recorded-relation bound is TIGHT: within 2x of the truth (the r3
+    # blockdiag bound could only be loose-or-violated at scale)
+    assert rd.certified_bound[-1] <= 2.0 * td + 1e-12
+
+
+def test_df64_project_every_strided():
+    """project_every > 1 on df64 storage (ADVICE r3: the parameter used to
+    be accepted-but-ignored): the projection runs on the stride, skipped
+    steps record zero C-columns, and the result still certifies."""
+    op = tk.laplace(2, 64, shift=30.0)
+    b = tk.random_rhs(2, 64, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = tk.SolverConfig(kmax=24, tol=1e-12)
+    r1 = tk.solve_deflated(op, b, cfg, m=6, storage="df64")
+    r4 = tk.solve_deflated(op, b, cfg, m=6, storage="df64", project_every=4)
+    t1 = tk.kron_residual_dense(op, r1.x, np.asarray(b))
+    t4 = tk.kron_residual_dense(op, r4.x, np.asarray(b))
+    assert abs(t4 - t1) / t1 < 1e-2
+    assert t4 <= r4.certified_bound[-1] + 1e-12
+    # strided projection leaks between projections — measured, nonzero
+    assert r4.projection_leak is not None
