@@ -41,6 +41,7 @@ from jax import lax
 from .coeffs.tables import BHTables, load_tables
 from .ops.banded import spmv
 from .ops.orth import (
+    bdot,
     KrylovState,
     _acc_dtype,
     _project_coeffs,
@@ -66,7 +67,7 @@ def _orthonormalize_column(V, u, kc, b_block, proj_dtype):
     u = _subtract_span(V, u, w2, kc)
     h = w1 + w2  # (d, Kb)
 
-    h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))
+    h_new = jnp.sqrt(bdot(u, u, acc).astype(proj_dtype))
     scale = jnp.sum(jnp.abs(h), axis=1) + jnp.asarray(1e-300, proj_dtype)
     lucky = h_new < 256.0 * jnp.finfo(acc).eps * scale
     h_new = jnp.where(lucky, 0.0, h_new)

@@ -77,7 +77,7 @@ def init_state(
     H = jnp.zeros((d, K, K), proj_dtype)
     btil = jnp.zeros((d, K), proj_dtype)
     btil = btil.at[:, 0].set(
-        jnp.einsum("dn,dn->d", v0, b, preferred_element_type=acc).astype(proj_dtype)
+        bdot(v0, b, acc).astype(proj_dtype)
     )
     beta = jnp.zeros((d,), proj_dtype)
     return KrylovState(V, H, btil, beta), b_norms
@@ -232,6 +232,29 @@ def _gate_col(V, v_new, k, active):
     return jnp.where(active, v_new, _col(V, k))
 
 
+def bdot(a, b, acc=None):
+    """Accurate batched per-factor dot ⟨a_s, b_s⟩ → (..., d,)-leading shape.
+
+    NEVER use einsum("dn,dn->d") (or any dot_general-shaped contraction)
+    for f64 dots on this TPU backend: measured 2.4e-5 relative error at
+    (d=10, n=16384) — ~sqrt(n)·eps32, an f32-partial reduction — and the
+    lowering is CONTEXT-SENSITIVE: matmul-shaped and split-pair forms that
+    measure ~2^-48 standalone collapse to the same broken path inside
+    larger jitted graphs (r4 probes, benchmarks/f64_emulation_probe.py).
+    The bug silently mis-normalized every TPU Lanczos β until the r4
+    full-Gram check caught the basis diagonal at 1.5e-5.
+
+    The ONE form measured accurate in-context is elementwise-multiply +
+    axis reduce (jnp.sum): the f64-emulated product (~4e-15/element) and
+    the plain f64 reduce are both clean — 3.3e-15 relative at the same
+    shape, in-loop. CPU keeps the plain einsum (exact there, faster)."""
+    if acc is None:
+        acc = jnp.result_type(a.dtype, b.dtype)
+    if jax.default_backend() == "cpu":
+        return jnp.einsum("...n,...n->...", a, b, preferred_element_type=acc)
+    return jnp.sum(a.astype(acc) * b.astype(acc), axis=-1)
+
+
 # Max f64 einsum-operand elements before column chunking. The TPU f64
 # emulation splats each big dot operand into 8 f32 component arrays in HBM
 # (~32 B/element + sublane padding — measured: the flagship full-basis sweep
@@ -323,7 +346,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
         # subtract beta * v_{k-2} (zero contribution at k == 1 since beta == 0)
         u = u - beta.astype(acc)[:, None] * v_pprev.astype(acc)
 
-        alpha = jnp.einsum("dn,dn->d", u, v_prev.astype(acc), preferred_element_type=acc).astype(proj_dtype)
+        alpha = bdot(u, v_prev.astype(acc), acc).astype(proj_dtype)
         u = u - alpha.astype(acc)[:, None] * v_prev.astype(acc)
 
         if deflate_U is not None:
@@ -341,8 +364,8 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
             # intentional alpha/beta components already removed)
             loss = jnp.linalg.norm(w)
 
-        beta_sq = jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype)
-        ub = jnp.einsum("dn,dn->d", u, b.astype(acc), preferred_element_type=acc).astype(proj_dtype)
+        beta_sq = bdot(u, u, acc).astype(proj_dtype)
+        ub = bdot(u, b.astype(acc), acc).astype(proj_dtype)
 
     # v_0-drift probe: |⟨u, b⟩|/(β‖b_s‖) = |⟨v_k, v_0⟩| (b̃[:, 0] = ‖b_s‖)
     b_norms = btil[:, 0]
@@ -359,8 +382,8 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
         def _sweep(u):
             w = _project_coeffs(V, u, k, proj_dtype)
             u2 = _subtract_span(V, u, w, k)
-            bs = jnp.einsum("dn,dn->d", u2, u2, preferred_element_type=acc).astype(proj_dtype)
-            ub2 = jnp.einsum("dn,dn->d", u2, b.astype(acc), preferred_element_type=acc).astype(proj_dtype)
+            bs = bdot(u2, u2, acc).astype(proj_dtype)
+            ub2 = bdot(u2, b.astype(acc), acc).astype(proj_dtype)
             return u2, bs, ub2
 
         trigger = probe > jnp.asarray(thresh, proj_dtype)
@@ -387,9 +410,7 @@ def lanczos_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     bt_new = ub / safe
     bt_new = lax.cond(
         jnp.any(lucky),
-        lambda: jnp.einsum(
-            "dn,dn->d", v_new, b.astype(u.dtype), preferred_element_type=u.dtype
-        ).astype(proj_dtype),
+        lambda: bdot(v_new, b.astype(u.dtype), u.dtype).astype(proj_dtype),
         lambda: bt_new,
     )
     if active is not None:
@@ -425,7 +446,7 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     u = _subtract_span(V, u, w2, k)
     h = w1 + w2  # (d, K) Hessenberg column entries 0..k-1
 
-    h_new = jnp.sqrt(jnp.einsum("dn,dn->d", u, u, preferred_element_type=acc).astype(proj_dtype))
+    h_new = jnp.sqrt(bdot(u, u, acc).astype(proj_dtype))
     scale = jnp.sum(jnp.abs(h), axis=1) + jnp.asarray(1e-300, proj_dtype)
     lucky = h_new < 256.0 * jnp.finfo(u.dtype).eps * scale
     h_new = jnp.where(lucky, 0.0, h_new)
@@ -439,9 +460,7 @@ def arnoldi_step(op: KroneckerSumOperator, state: KrylovState, b: jax.Array, k, 
     col = h + _set_vec_entry(jnp.zeros_like(h), k, h_new)  # (d, K)
     zero = jnp.zeros((), jnp.int32)
     H_new = lax.dynamic_update_slice(H, col[:, :, None], (zero, zero, jnp.asarray(k - 1, jnp.int32)))
-    bt_new = jnp.einsum(
-        "dn,dn->d", v_new, b.astype(acc), preferred_element_type=acc
-    ).astype(proj_dtype)
+    bt_new = bdot(v_new, b.astype(acc), acc).astype(proj_dtype)
     if active is not None:
         keep = lambda new, old: jnp.where(active, new, old)
         H = keep(H_new, H)

@@ -41,7 +41,7 @@ from jax import lax
 from .coeffs.tables import BHTables, load_tables
 from .ops.banded import spmv
 from .ops.eigen import dense_minor_window
-from .ops.orth import _acc_dtype
+from .ops.orth import bdot, _acc_dtype
 from .solver import _resolve_config, projected_step
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
 
@@ -103,12 +103,10 @@ def _recurrence_step(op, v_prev, v_pprev, beta, b_acc, pdt, fused_tile_width=Non
     else:
         u = spmv(op, v_prev)
         u = u - beta.astype(u.dtype)[:, None] * v_pprev
-        alpha = jnp.einsum(
-            "dn,dn->d", u, v_prev, preferred_element_type=u.dtype
-        ).astype(pdt)
+        alpha = bdot(u, v_prev, u.dtype).astype(pdt)
         u = u - alpha.astype(u.dtype)[:, None] * v_prev
         beta_new = jnp.sqrt(
-            jnp.einsum("dn,dn->d", u, u, preferred_element_type=u.dtype).astype(pdt)
+            bdot(u, u, u.dtype).astype(pdt)
         )
         ub = None
     scale = jnp.abs(alpha) + beta + jnp.asarray(1e-300, pdt)
@@ -117,9 +115,7 @@ def _recurrence_step(op, v_prev, v_pprev, beta, b_acc, pdt, fused_tile_width=Non
     safe = jnp.where(beta_new > 0, beta_new, 1.0)
     v_new = jnp.where(lucky[:, None], 0.0, u / safe.astype(u.dtype)[:, None])
     if ub is None:
-        bt = jnp.einsum(
-            "dn,dn->d", v_new, b_acc, preferred_element_type=u.dtype
-        ).astype(pdt)
+        bt = bdot(v_new, b_acc, u.dtype).astype(pdt)
     else:
         # b̃_k = <u/β, b> = ub/β; a lucky factor's v_new is the zero vector
         bt = jnp.where(lucky, 0.0, ub / safe)
@@ -153,7 +149,7 @@ def _solve_pass1_jit(op, b, tables, config: SolverConfig):
         fused_w = fused_tile(op, n)
 
     btil0 = jnp.zeros((d, K), pdt).at[:, 0].set(
-        jnp.einsum("dn,dn->d", v0, b_acc, preferred_element_type=acc).astype(pdt)
+        bdot(v0, b_acc, acc).astype(pdt)
     )
 
     def body(c: _Carry) -> _Carry:

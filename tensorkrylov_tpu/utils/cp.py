@@ -25,6 +25,7 @@ __all__ = [
     "cp_norm_accurate",
     "cp_residual_cross_check",
     "cp_residual_cross_check_host",
+    "cp_residual_cross_check_host_rankR",
     "host_spmv_bands",
     "ResidualCrossCheck",
     "cp_full",
@@ -168,21 +169,43 @@ def cp_residual_cross_check(op, x: CPTensor, b) -> ResidualCrossCheck:
     )
 
 
-def _cross_check_from_gram(G_small, weights, d: int, t: int) -> ResidualCrossCheck:
+def cp_residual_cross_check_host_rankR(
+    bands: np.ndarray, offsets, weights: np.ndarray, factors: np.ndarray,
+    B: np.ndarray, b_weights=None,
+) -> "ResidualCrossCheck":
+    """cp_residual_cross_check_host for a rank-R tensor-product RHS
+    b = Σ_r bw_r ⊗_s B[r, s] (B: (R, d, n)) — the block/global solver's
+    (BASELINE config 4) certificate evidence. Same longdouble rank-pair
+    contraction; per-mode distinct columns are [B_s | X_s | A_s X_s]."""
+    X = np.asarray(factors, np.float64)
+    d, n, t = X.shape
+    B = np.asarray(B, np.float64)
+    R = B.shape[0]
+    bw = np.ones(R) if b_weights is None else np.asarray(b_weights, np.float64)
+    bands = np.asarray(bands, np.float64)
+    AX = host_spmv_bands(bands, offsets, X)
+    Bc = np.transpose(B, (1, 2, 0))                            # (d, n, R)
+    C_np = np.concatenate([Bc, X, AX], axis=2)                 # (d, n, R+2t)
+    G_small = np.einsum("dni,dnj->dij", C_np, C_np).astype(np.longdouble)
+    return _cross_check_from_gram(G_small, np.asarray(weights, np.float64),
+                                  d, t, R=R, b_weights=bw)
+
+
+def _cross_check_from_gram(G_small, weights, d: int, t: int, R: int = 1,
+                           b_weights=None) -> ResidualCrossCheck:
     # column map of the full residual factor matrix, per mode s:
-    # col 0 = b_s; col 1+s'·t+j = (A_s X_s)[:, j] if s' == s else X_s[:, j]
+    # cols 0..R-1 = B_s; col R+s'·t+j = (A_s X_s)[:, j] if s' == s else X_s[:, j]
     sp = np.repeat(np.arange(d), t)                            # group of col
     jj = np.tile(np.arange(t), d)
-    idx = np.empty((d, 1 + d * t), np.int64)
-    idx[:, 0] = 0
+    idx = np.empty((d, R + d * t), np.int64)
+    idx[:, :R] = np.arange(R)
     for s in range(d):
-        idx[s, 1:] = np.where(sp == s, 1 + t + jj, 1 + jj)
-    # weights: r = 1·b − Σ_{s',j} w_j · (A applied in mode s')
-    w = np.concatenate(
-        [[1.0], -np.tile(weights, d)]
-    ).astype(np.longdouble)
+        idx[s, R:] = np.where(sp == s, R + t + jj, R + jj)
+    # weights: r = Σ_r bw_r·b_r − Σ_{s',j} w_j · (A applied in mode s')
+    bw = np.ones(R) if b_weights is None else np.asarray(b_weights, np.float64)
+    w = np.concatenate([bw, -np.tile(weights, d)]).astype(np.longdouble)
 
-    P = np.ones((1 + d * t, 1 + d * t), np.longdouble)
+    P = np.ones((R + d * t, R + d * t), np.longdouble)
     P_abs = np.ones_like(P)
     for s in range(d):
         Gs = G_small[s][np.ix_(idx[s], idx[s])]
