@@ -75,11 +75,15 @@ def reaction_diffusion(d: int, n: int, sigma: float, dtype=jnp.float64) -> Krone
     return laplace(d, n, dtype=dtype, shift=float(sigma))
 
 
-def conv_diff(d: int, n: int, c: float = 10.0, dtype=jnp.float64) -> KroneckerSumOperator:
+def conv_diff(d: int, n: int, c: float = 10.0, dtype=jnp.float64,
+              shift: float = 0.0) -> KroneckerSumOperator:
     """Convection–diffusion factors: Laplacian + (c/4h)·diags(+1 @ -1, +3 @ 0,
-    -5 @ +1, +1 @ +2) — nonsymmetric, bandwidth (1 lower, 2 upper).
+    -5 @ +1, +1 @ +2) — nonsymmetric, bandwidth (1 lower, 2 upper) — plus an
+    optional diagonal shift σ·I per factor (the reaction term that sets the
+    condition number for the at-scale nonsym runs, exactly like laplace's).
 
-    Reference: ConvDiff, /root/reference/src/tensor_struct.jl:60-68.
+    Reference: ConvDiff, /root/reference/src/tensor_struct.jl:60-68; the β
+    convection sweep of /root/reference/experiments/parameterized_systems.jl.
     """
     h = 1.0 / (n + 1)
     h2inv = 1.0 / h**2
@@ -87,7 +91,7 @@ def conv_diff(d: int, n: int, c: float = 10.0, dtype=jnp.float64) -> KroneckerSu
     return _banded_operator(
         {
             -1: -h2inv + cv,
-            0: 2.0 * h2inv + 3.0 * cv,
+            0: 2.0 * h2inv + 3.0 * cv + shift,
             1: -h2inv - 5.0 * cv,
             2: cv,
         },
