@@ -232,6 +232,13 @@ def main():
             "cross_check_error": cross_err,
             "projection_leak": res.projection_leak,
             "boundary_drift_max": res.boundary_drift_max,
+            # df64 v2 noise-recording certificate decomposition (r4)
+            "relation_dev_term": res.relation_dev_term,
+            "relation_eta_term": res.relation_eta_term,
+            "relation_r2_term": res.relation_r2_term,
+            "perturbation_rho": res.perturbation_rho,
+            "gram_deviation": res.gram_deviation,
+            "eft_eps_measured": res.eft_eps_measured,
         },
         "timing": {
             "backend": jax.default_backend(),
