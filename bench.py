@@ -153,6 +153,66 @@ def _bench_spmv_cpu(d=SPMV_D, n=SPMV_N, iters=10):
     return nnz * iters / dt / 1e9
 
 
+def _bench_solver_loop_resident(tk, jax, jnp, d=SPMV_D, n=SPMV_N):
+    """SOLVER-LOOP Gnnz/s (VERDICT r3 #2): complete f32 Lanczos steps —
+    SpMV + α/β reductions + axpys + normalize + basis-column write — via
+    the VMEM-resident multi-step kernel vs the XLA step loop, two-point
+    slope (S2−S1 steps) to cancel dispatch."""
+    import time as _t
+
+    from tensorkrylov_tpu.ops.banded import spmv
+    from tensorkrylov_tpu.ops.pallas.resident_lanczos import (
+        lanczos_resident_steps, lanczos_resident_supported)
+
+    op = tk.laplace(d, n, dtype=jnp.float32)
+    rng = __import__("numpy").random.default_rng(0)
+    b = rng.standard_normal((d, n)).astype("float32")
+    b /= __import__("numpy").linalg.norm(b, axis=1, keepdims=True)
+    vp = jnp.asarray(b)
+    vpp = jnp.zeros_like(vp)
+    beta = jnp.zeros((d,), jnp.float32)
+    nnz = 3 * n * d
+
+    def xla_steps(vp, vpp, beta, S):
+        def body(carry, _):
+            vp, vpp, beta = carry
+            u = spmv(op, vp) - beta[:, None] * vpp
+            alpha = jnp.sum(u * vp, axis=1)
+            u = u - alpha[:, None] * vp
+            bnew = jnp.sqrt(jnp.sum(u * u, axis=1))
+            v = u / bnew[:, None]
+            return (v, vp, bnew), (v, alpha, bnew)
+        (vp, vpp, beta), (V, al, bt) = jax.lax.scan(
+            body, (vp, vpp, beta), None, length=S)
+        return V, al, bt, vp, vpp, beta
+
+    xla_jit = jax.jit(xla_steps, static_argnames=("S",))
+
+    def timed(fn, S):
+        out = fn(vp, vpp, beta, S)
+        jax.block_until_ready(out[0])
+        t0 = _t.perf_counter()
+        for _ in range(3):
+            out = fn(vp, vpp, beta, S)
+        jax.block_until_ready(out[0])
+        return (_t.perf_counter() - t0) / 3
+
+    S1, S2 = 8, 64
+    t_x = (timed(xla_jit, S2) - timed(xla_jit, S1)) / (S2 - S1)
+    gnnz_x = nnz / t_x / 1e9
+    gnnz_r = 0.0
+    if lanczos_resident_supported(op):
+        res = lambda vp, vpp, beta, S: lanczos_resident_steps(
+            op, vp, vpp, beta, S)
+        try:
+            t_r = (timed(res, S2) - timed(res, S1)) / (S2 - S1)
+            gnnz_r = nnz / t_r / 1e9
+        except Exception as e:  # Mosaic rejection → report 0, keep bench alive
+            print(f"# resident lanczos unavailable: {type(e).__name__}: {e}",
+                  flush=True)
+    return gnnz_x, gnnz_r
+
+
 def _bench_solver_iterations(tk, jax, jnp):
     """Full solver pipeline iterations/sec (d=5 Laplace, f64, kmax=64)."""
     from tensorkrylov_tpu.types import SolverConfig
@@ -188,6 +248,10 @@ def main():
     gnnz = max(gnnz_xla, gnnz_res)
     cpu_gnnz = _bench_spmv_cpu()
     iters_per_s = _bench_solver_iterations(tk, jax, jnp)
+    loop_xla, loop_res = (
+        _bench_solver_loop_resident(tk, jax, jnp) if platform == "tpu"
+        else (0.0, 0.0)
+    )
 
     # HBM roofline models (v5e ~819 GB/s): 'stream' re-reads the 3 band
     # arrays + v and writes u every apply (5 f32 arrays of d·n);
@@ -215,6 +279,10 @@ def main():
                     "resident_pallas_gnnz_s": round(gnnz_res, 3),
                     "cpu_numpy_gnnz_s": round(cpu_gnnz, 3),
                     "solver_iters_per_s_f64": round(iters_per_s, 2),
+                    # SOLVER-LOOP numbers (complete Lanczos steps incl.
+                    # reductions + basis writes — not a bare-apply microbench)
+                    "solver_loop_xla_gnnz_s": round(loop_xla, 3),
+                    "solver_loop_resident_gnnz_s": round(loop_res, 3),
                     "spmv_config": "d=8 tridiag n=2^20 f32",
                     "roofline_819GBps": {
                         "stream_gnnz_s": round(stream, 1),
