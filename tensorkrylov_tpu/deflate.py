@@ -1306,7 +1306,8 @@ def _phi_dd(gam: float, lam_i, lam_j):
 
 def _evaluate_host_recorded(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
                             omega, alpha, t_mask, W, Cm, dev, b0_norms,
-                            dev0, eps_elem, lam_gersh_f, gram_dev):
+                            dev0, eps_elem, lam_gersh_f, gram_dev,
+                            frechet: bool = True):
     """Host evaluation for the v2 (noise-recording) df64 solve.
 
     The projected per-factor operator is the RECORDED perturbed matrix
@@ -1367,11 +1368,43 @@ def _evaluate_host_recorded(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
         Yu0 = ex_u * c[s][:, None]                              # (m, t)
         dYv = np.zeros((k, t))
         dYu = np.zeros((m, t))
-        for j in range(t):
-            Phi = _phi_dd(gam[j], T_w[:, None], T_w[None, :])   # (k, k)
-            dYv[:, j] = Q @ ((Wt * Phi) @ g)
-            PhiU = _phi_dd(gam[j], lam[s][:, None], T_w[None, :])  # (m, k)
-            dYu[:, j] = (Ct * PhiU) @ g
+        # divided differences from the PRECOMPUTED exponentials (ex, ex_u):
+        # the naive per-(j, pair) exp evaluation costs m*k*t exps — minutes
+        # of host time per flagship checkpoint, during which the tunneled
+        # TPU worker sits idle (a measured crash window). The separated
+        # form needs only the (k+m)*t exps already computed; the small-gap
+        # branch falls back to the stable sinhc form per pair.
+        if frechet:
+            # GEMM-separated divided differences: with Gw = M_pert ∘ g-row,
+            #   Σ_l Gw[i,l]·(ex[i,j] − ex[l,j])/dT[i,l]
+            #     = ex[i,j]·rowsum(Gw/dT)[i] − (Gw/dT) @ ex
+            # — two dense GEMMs over ALL exp-sum terms at once instead of a
+            # k²-temp per term (the per-term loop was ~1 min of idle-tunnel
+            # host time per flagship checkpoint). Phi multiplies the TINY
+            # recorded perturbation, so the direct quotient's cancellation
+            # error (~eps/|γ·dT| relative) is harmless for all but (near-)
+            # coincident pairs, which are patched with the sinhc limit.
+            dT = T_w[:, None] - T_w[None, :]
+            dU = lam[s][:, None] - T_w[None, :]
+            scale_T = np.abs(T_w).max() + 1.0
+            Gw = Wt * g[None, :]
+            deg = np.abs(dT) < 1e-8 * scale_T             # incl. the diagonal
+            M = np.where(deg, 0.0, Gw) / np.where(deg, 1.0, dT)
+            dYv_c = ex * M.sum(axis=1)[:, None] - M @ ex  # (k, t)
+            # (near-)degenerate pairs: phi -> -γ·sqrt(ex_i·ex_l)·sinhc
+            for i, l in zip(*np.nonzero(deg)):
+                h = 0.5 * gam * (T_w[i] - T_w[l])
+                dYv_c[i] += Gw[i, l] * (-gam * np.sqrt(ex[i] * ex[l])
+                                        * (1.0 + h * h / 6.0))
+            dYv = Q @ dYv_c
+            Gu = Ct * g[None, :]
+            degU = np.abs(dU) < 1e-8 * scale_T
+            MU = np.where(degU, 0.0, Gu) / np.where(degU, 1.0, dU)
+            dYu = ex_u * MU.sum(axis=1)[:, None] - MU @ ex
+            for i, l in zip(*np.nonzero(degU)):
+                h = 0.5 * gam * (lam[s][i] - T_w[l])
+                dYu[i] += Gu[i, l] * (-gam * np.sqrt(ex_u[i] * ex[l])
+                                      * (1.0 + h * h / 6.0))
         Yv_k[s] = Yv0 + dYv
         Yu_k[s] = Yu0 + dYu
         # Z = H~ Y with the FULL recorded relation
@@ -1574,11 +1607,15 @@ def solve_deflated(
     the solution (O(d·n·t) memory, no kmax ceiling, crash-resumable via
     state_cache; NO reorthogonalization — estimates only at large k,
     measured stall in BASELINE.md r3). 'segmented' stores per-segment
-    blocks with boundary reorth (intermediate). 'df64' stores the basis
-    as f32 hi/lo pairs with per-step sweep-then-record full
-    reorthogonalization — the certifying flagship mode on TPU (the sweep
-    runs every step: BASELINE.md r3 measured that any stride leaves
-    unswept stored columns that break the certificate).
+    blocks with boundary reorth (intermediate). 'df64' (v2, r4 — THE
+    certifying mode on TPU) is the noise-recording expansion Lanczos:
+    basis stored as f32 hi/lo pairs, the recurrence in f32-expansion
+    arithmetic (measured ~2.6e-16 elementwise on this chip), per-step
+    full reorthogonalization with every sweep/projection coefficient and
+    commit deviation RECORDED; the projected solve inverts the recorded
+    perturbed per-factor operator, and the certificate is sup + measured
+    boundary/dev/eta/r2 components with a full-Gram orthonormality bound
+    at the deciding checkpoint (see _Df64State and DESIGN.md r4 addendum).
     'auto' → 'twopass' on TPU, 'full' elsewhere.
 
     mesh: a ('factor', 'mode') jax.sharding.Mesh (parallel.make_mesh) to
@@ -1944,7 +1981,7 @@ def solve_deflated(
                 k_prev = ck + 1
             _save_state(state, k_prev) if storage == "twopass" else None
         if storage == "df64":
-            def _eval_df64(gram_dev):
+            def _eval_df64(gram_dev, frechet):
                 out = _evaluate_host_recorded(
                     np.asarray(state.dg), np.asarray(state.od),
                     np.asarray(state.btil), np.asarray(state.beta), ck,
@@ -1953,24 +1990,31 @@ def solve_deflated(
                     np.asarray(coeffs.t_mask),
                     np.asarray(state.W), np.asarray(state.C),
                     np.asarray(state.dev), b0_norms_np, dev0_np,
-                    _eft_eps(), lam_gersh_f, gram_dev,
+                    _eft_eps(), lam_gersh_f, gram_dev, frechet=frechet,
                 )
                 cert = out[-1]
                 cert["sup"] = sup_err
-                bound = (sup_err + cert["boundary"] + cert["dev_term"]
-                         + cert["eta_term"] + cert["r2_term"])
+                if frechet:
+                    bound = (sup_err + cert["boundary"] + cert["dev_term"]
+                             + cert["eta_term"] + cert["r2_term"])
+                else:
+                    # uncorrected y: the measured longdouble estimate (which
+                    # contains the W/C defect) replaces sup + boundary
+                    bound = (out[0] + cert["dev_term"] + cert["eta_term"]
+                             + cert["r2_term"])
                 return out, bound
 
-            # cheap slack proxy first (the measured pre-sweep overlap and
-            # U-leak are the orthogonality-loss scales); the FULL Gram —
-            # minutes of tunnel-safe chunked device calls at flagship
-            # shape — runs only at the deciding checkpoint
+            # interim checkpoints run the CHEAP evaluation (no Frechet
+            # correction — ~1 min of idle-tunnel host time saved per
+            # checkpoint at flagship size — and proxy slack from the
+            # measured sweep-overlap/leak); the full treatment (corrected
+            # solve + chunked full Gram) runs at the deciding checkpoint
             proxy = max(float(state.sweep_overlap), float(state.leak))
-            out, bound = _eval_df64(proxy)
-            if bound < config.tol or ck == checkpoints[-1]:
+            out, bound = _eval_df64(proxy, frechet=False)
+            if bound < 100.0 * config.tol or ck == checkpoints[-1]:
                 gram_dev = _df64_gram_deviation_host(
                     state.Vh, state.Vl, ck + 1, op.d)
-                out, bound = _eval_df64(gram_dev)
+                out, bound = _eval_df64(gram_dev, frechet=True)
                 out[-1]["gram_source"] = "measured full Gram"
             else:
                 out[-1]["gram_source"] = "proxy max(sweep_overlap, leak)"

@@ -468,3 +468,51 @@ def test_df64_project_every_strided():
     assert t4 <= r4.certified_bound[-1] + 1e-12
     # strided projection leaks between projections — measured, nonzero
     assert r4.projection_leak is not None
+
+
+def test_evaluate_host_recorded_inverts_perturbed_operator():
+    """The noise-recording evaluation must solve the PERTURBED projected
+    system: with an artificially large recorded W (1e-4-scale), the
+    Frechet-corrected y must drive the measured joint defect ~|W|^2/gap
+    below the uncorrected level by orders of magnitude (the r3 flagship
+    gap was exactly an uncorrected-W term)."""
+    from tensorkrylov_tpu.deflate import _evaluate_host_recorded
+
+    rng = np.random.default_rng(3)
+    d, k, m, Kp = 2, 12, 3, 16
+    # SPD tridiagonal T per factor, spectrum ~ [1, 10]
+    dg = np.zeros((d, k + 1))
+    od = np.zeros((d, k + 1))
+    dg[:, :k] = 5.0 + rng.standard_normal((d, k))
+    od[:, 1:k] = 0.5 * np.abs(rng.standard_normal((d, k - 1)))
+    beta = np.abs(rng.standard_normal(d)) * 0.0        # no boundary term
+    lam = np.sort(np.abs(rng.standard_normal((d, m)))) + 0.5
+    c = rng.standard_normal((d, m)) * 0.3
+    b0 = np.ones(d)
+    lam_min = float(lam[:, 0].sum() + 0.0) * 0 + float(lam[:, 0].sum())
+    # exp-sum coefficients for 1/x on [1, kappa]: use the BH table loader
+    import tensorkrylov_tpu as tk2
+    from tensorkrylov_tpu.coeffs.tables import load_tables, select_bh
+    tables = load_tables()
+    lam_tot_max = float(lam[:, -1].sum() + 2 * (dg.max() + 2 * od.max()))
+    kappa = lam_tot_max / lam_min
+    co = select_bh(jnp.asarray(kappa), 1e-10 / kappa, tables)
+    omega, alpha, t_mask = (np.asarray(co.omega), np.asarray(co.alpha),
+                            np.asarray(co.t_mask))
+
+    W = np.zeros((d, Kp, Kp), np.float32)
+    W[:, :k, :k] = (rng.standard_normal((d, k, k)) * 1e-4).astype(np.float32)
+    Cm = np.zeros((d, m, Kp), np.float32)
+    dev = np.zeros((d, k + 1))
+
+    def run(frechet):
+        return _evaluate_host_recorded(
+            dg, od, np.zeros((d, k + 1)), beta, k, lam, c, 1.0, lam_min,
+            omega, alpha, t_mask, W, Cm, dev, b0, np.zeros(d),
+            1e-20, np.full(d, lam_tot_max / d), 0.0, frechet=frechet)
+
+    rel_un, *_ = run(False)
+    rel_co, *_ = run(True)
+    # uncorrected defect ~ |W|-scale; corrected ~ |W|^2-scale
+    assert rel_un > 1e-6
+    assert rel_co < rel_un / 50.0, (rel_un, rel_co)
