@@ -1285,25 +1285,6 @@ def _evaluate_host(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
     return rel, brs, Yu, Yv, weights
 
 
-def _phi_dd(gam: float, lam_i, lam_j):
-    """Stable divided difference of x -> exp(-gam x):
-    (e^{-g li} - e^{-g lj})/(li - lj), diagonal limit -g e^{-g l}.
-    Written in the symmetric sinhc form so near-equal eigenvalues lose no
-    accuracy: phi = -g * exp(-g (li+lj)/2) * sinhc(g (li-lj)/2)."""
-    mid = 0.5 * (lam_i + lam_j)
-    half = 0.5 * gam * (lam_i - lam_j)
-    small = np.abs(half) < 0.1
-    # near-coincident: sinhc form (no cancellation); separated: direct
-    # difference (sinh would overflow for wide spectra)
-    half_s = np.where(small, half, 0.0)
-    sinhc = 1.0 + half_s * half_s / 6.0 * (1.0 + half_s * half_s / 20.0)
-    phi_small = -gam * np.exp(-np.clip(gam * mid, -700.0, 700.0)) * sinhc
-    dlam = np.where(small, 1.0, lam_i - lam_j)
-    phi_big = (np.exp(-np.clip(gam * lam_i, -700.0, 700.0))
-               - np.exp(-np.clip(gam * lam_j, -700.0, 700.0))) / dlam
-    return np.where(small, phi_small, phi_big)
-
-
 def _evaluate_host_recorded(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
                             omega, alpha, t_mask, W, Cm, dev, b0_norms,
                             dev0, eps_elem, lam_gersh_f, gram_dev,
