@@ -702,10 +702,12 @@ class _Df64State(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, donate_argnums=(3,), static_argnames=("offsets", "S", "project_every")
+    jax.jit, donate_argnums=(3,),
+    static_argnames=("offsets", "S", "project_every", "sweep_every"),
 )
 def _df64_advance(bands_h, bands_l, offsets, state: _Df64State, b_perp,
-                  Uh, Ul, k0, S: int = 32, project_every: int = 1):
+                  Uh, Ul, k0, S: int = 32, project_every: int = 1,
+                  sweep_every: int = 1):
     """Run S full-reorth recording steps k0..k0+S-1 in ONE device call.
 
     Replaces the r3 three-calls-per-step structure (pre/sweep/commit) whose
@@ -774,44 +776,58 @@ def _df64_advance(bands_h, bands_l, offsets, state: _Df64State, b_perp,
         else:
             z, cvec, leak = do_proj(z)
 
-        # ---- full CGS sweep vs stored columns < k (recorded) ----
-        zf = ex.triple_to_f64(z)
-        un = jnp.sqrt(bdot(zf, zf, pdt))
-        zh0, zl0 = _split32(zf)
-        nch = jnp.minimum(jnp.asarray((k + C_ - 1) // C_, jnp.int32), nch_max)
+        # ---- CGS sweep vs stored columns < k (recorded; optionally
+        # strided — the recording keeps the relation exact either way, so
+        # striding trades measured Gram slack for the dominant f64-GEMM
+        # splat traffic at large k; see solve_deflated's sweep_every) ----
+        def do_sweep(z):
+            zf = ex.triple_to_f64(z)
+            un = jnp.sqrt(bdot(zf, zf, pdt))
+            zh0, zl0 = _split32(zf)
+            nch = jnp.minimum(
+                jnp.asarray((k + C_ - 1) // C_, jnp.int32), nch_max)
 
-        def wbody(ci, w):
-            ci = jnp.asarray(ci, jnp.int32)
-            r0 = ci * (C_ * d)
-            Vhc = lax.dynamic_slice(st.Vh, (r0, z32), (C_ * d, n))
-            Vlc = lax.dynamic_slice(st.Vl, (r0, z32), (C_ * d, n))
-            full = (jnp.einsum("Kn,dn->Kd", Vhc, zh0, preferred_element_type=pdt)
-                    + jnp.einsum("Kn,dn->Kd", Vhc, zl0, preferred_element_type=pdt)
-                    + jnp.einsum("Kn,dn->Kd", Vlc, zh0, preferred_element_type=pdt))
-            wc = jnp.einsum("kid,id->ki", full.reshape(C_, d, d), eye_d)
-            return lax.dynamic_update_slice(w, wc, (ci * C_, z32))
+            def wbody(ci, w):
+                ci = jnp.asarray(ci, jnp.int32)
+                r0 = ci * (C_ * d)
+                Vhc = lax.dynamic_slice(st.Vh, (r0, z32), (C_ * d, n))
+                Vlc = lax.dynamic_slice(st.Vl, (r0, z32), (C_ * d, n))
+                full = (jnp.einsum("Kn,dn->Kd", Vhc, zh0, preferred_element_type=pdt)
+                        + jnp.einsum("Kn,dn->Kd", Vhc, zl0, preferred_element_type=pdt)
+                        + jnp.einsum("Kn,dn->Kd", Vlc, zh0, preferred_element_type=pdt))
+                wc = jnp.einsum("kid,id->ki", full.reshape(C_, d, d), eye_d)
+                return lax.dynamic_update_slice(w, wc, (ci * C_, z32))
 
-        w = lax.fori_loop(0, nch, wbody, jnp.zeros((nch_max * C_, d), pdt))
-        w = w * (jnp.arange(nch_max * C_)[:, None] < k).astype(pdt)
-        overlap = jnp.max(jnp.max(jnp.abs(w), axis=0) / (un + 1e-300))
-        wh, wl = _split32(w)
+            w = lax.fori_loop(0, nch, wbody,
+                              jnp.zeros((nch_max * C_, d), pdt))
+            w = w * (jnp.arange(nch_max * C_)[:, None] < k).astype(pdt)
+            overlap = jnp.max(jnp.max(jnp.abs(w), axis=0) / (un + 1e-300))
+            wh, wl = _split32(w)
 
-        def cbody(ci, corr):
-            ci = jnp.asarray(ci, jnp.int32)
-            r0 = ci * (C_ * d)
-            Vhc = lax.dynamic_slice(st.Vh, (r0, z32), (C_ * d, n))
-            Vlc = lax.dynamic_slice(st.Vl, (r0, z32), (C_ * d, n))
-            whc = lax.dynamic_slice(wh, (ci * C_, z32), (C_, d))
-            wlc = lax.dynamic_slice(wl, (ci * C_, z32), (C_, d))
-            Wh_full = (whc[:, :, None] * eye_d).reshape(C_ * d, d).astype(jnp.float32)
-            Wl_full = (wlc[:, :, None] * eye_d).reshape(C_ * d, d).astype(jnp.float32)
-            return corr + (
-                jnp.einsum("Kn,Kd->dn", Vhc, Wh_full, preferred_element_type=pdt)
-                + jnp.einsum("Kn,Kd->dn", Vhc, Wl_full, preferred_element_type=pdt)
-                + jnp.einsum("Kn,Kd->dn", Vlc, Wh_full, preferred_element_type=pdt))
+            def cbody(ci, corr):
+                ci = jnp.asarray(ci, jnp.int32)
+                r0 = ci * (C_ * d)
+                Vhc = lax.dynamic_slice(st.Vh, (r0, z32), (C_ * d, n))
+                Vlc = lax.dynamic_slice(st.Vl, (r0, z32), (C_ * d, n))
+                whc = lax.dynamic_slice(wh, (ci * C_, z32), (C_, d))
+                wlc = lax.dynamic_slice(wl, (ci * C_, z32), (C_, d))
+                Wh_full = (whc[:, :, None] * eye_d).reshape(C_ * d, d).astype(jnp.float32)
+                Wl_full = (wlc[:, :, None] * eye_d).reshape(C_ * d, d).astype(jnp.float32)
+                return corr + (
+                    jnp.einsum("Kn,Kd->dn", Vhc, Wh_full, preferred_element_type=pdt)
+                    + jnp.einsum("Kn,Kd->dn", Vhc, Wl_full, preferred_element_type=pdt)
+                    + jnp.einsum("Kn,Kd->dn", Vlc, Wh_full, preferred_element_type=pdt))
 
-        corr = lax.fori_loop(0, nch, cbody, jnp.zeros((d, n), pdt))
-        z = ex.triple_sub_f64(z, corr)
+            corr = lax.fori_loop(0, nch, cbody, jnp.zeros((d, n), pdt))
+            return ex.triple_sub_f64(z, corr), w, overlap
+
+        if sweep_every > 1:
+            z, w, overlap = lax.cond(
+                k % sweep_every == 0, do_sweep,
+                lambda z: (z, jnp.zeros((nch_max * C_, d), pdt),
+                           jnp.zeros((), pdt)), z)
+        else:
+            z, w, overlap = do_sweep(z)
 
         # ---- β, breakdown guard, commit (recorded deviation) ----
         zf = ex.triple_to_f64(z)
@@ -891,13 +907,21 @@ def _df64_gram_deviation_host(Vh, Vl, k: int, d: int) -> float:
     nch = Vh.shape[0] // (C_ * d)
     dev = 0.0
     kk = jnp.asarray(k, jnp.int32)
-    for ci in range(nch):
-        if ci * C_ >= k:
-            break
-        v = _df64_gram_row_chunk(
-            Vh, Vl, jnp.asarray(ci * C_ * d, jnp.int32), kk, d)
-        jax.block_until_ready(v)
-        dev = max(dev, float(v))
+    done = 0
+    try:
+        for ci in range(nch):
+            if ci * C_ >= k:
+                break
+            v = _df64_gram_row_chunk(
+                Vh, Vl, jnp.asarray(ci * C_ * d, jnp.int32), kk, d)
+            jax.block_until_ready(v)
+            dev = max(dev, float(v))
+            done = ci + 1
+    except jax.errors.JaxRuntimeError as e:
+        # a worker fault mid-measurement must not lose the SOLVE: return
+        # the partial maximum (still genuine evidence over `done` chunks)
+        print(f"[gram] worker fault after {done}/{nch} row chunks "
+              f"({type(e).__name__}) — partial measurement kept", flush=True)
     return dev
 
 
@@ -1572,6 +1596,7 @@ def solve_deflated(
     verbose: bool = False,
     pass2_impl: str = "auto",
     segment: int = 32,
+    sweep_every: int = 1,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -1807,9 +1832,12 @@ def solve_deflated(
                 bands=_put(op_c.bands, band_sh),
                 halo=(mesh, "mode", fs) if comm == "ring" else op_c.halo,
             )
-        # one explicit transfer (jitted calls re-upload a numpy U per call)
-        U = _put(jnp.asarray(np.asarray(basis.U), pdt),
-                 None if mesh is None else u_sh)
+        # one explicit transfer (jitted calls re-upload a numpy U per call);
+        # the df64 path only touches the f32 pair — skip the f64 copy
+        U = None
+        if storage != "df64":
+            U = _put(jnp.asarray(np.asarray(basis.U), pdt),
+                     None if mesh is None else u_sh)
         Uh = Ul = bands_h = bands_l = None
         b0_norms_np = dev0_np = None
         if storage == "df64":
@@ -1940,6 +1968,7 @@ def solve_deflated(
                         bands_h, bands_l, op.offsets, state, b_perp,
                         Uh, Ul, jnp.asarray(k_prev, jnp.int32),
                         S=S_eff, project_every=project_every,
+                        sweep_every=sweep_every,
                     )
                     k_prev += S_eff
             elif storage == "segmented":
@@ -2022,12 +2051,15 @@ def solve_deflated(
         bound_hist.append(bound)
         k_done = ck
         if verbose:
+            import time as _time
+
             extra = ""
             if cert is not None:
                 extra = (f" [sup {sup_err:.1e} bnd {cert['boundary']:.1e} "
                          f"dev {cert['dev_term']:.1e} eta {cert['eta_term']:.1e} "
                          f"rho {cert['rho']:.1e} gram {cert['gram_dev']:.1e}]")
-            print(f"  [solve_deflated] k={ck}: estimate {rel_hist[-1]:.3e}, "
+            print(f"  [solve_deflated {_time.strftime('%H:%M:%S')}] k={ck}: "
+                  f"estimate {rel_hist[-1]:.3e}, "
                   f"certified bound {bound_hist[-1]:.3e}{extra}", flush=True)
         if bound_hist[-1] < config.tol:
             status = int(Status.CONVERGED)

@@ -77,6 +77,11 @@ def main():
                    help="basis storage; pass 'twopass' with --cpu to finish "
                         "a crashed TPU run entirely on host from its "
                         "state cache")
+    p.add_argument("--sweep-every", type=int, default=1,
+                   help="df64: full-reorth sweep stride (recorded "
+                        "coefficients keep the relation exact on every "
+                        "step; striding trades measured Gram slack for "
+                        "the dominant sweep-GEMM traffic at large k)")
     p.add_argument("--project-every", type=int, default=1,
                    help="run the U-projection GEMM every p-th Lanczos step "
                         "(twopass storage; leak is measured and recorded)")
@@ -139,6 +144,7 @@ def main():
                             state_cache=state_cache,
                             project_every=args.project_every,
                             storage=args.storage,
+                            sweep_every=args.sweep_every,
                             verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
@@ -214,6 +220,7 @@ def main():
                 else ("twopass" if jax.default_backend() == "tpu" else "full")
             ),
             "project_every": args.project_every,
+            "sweep_every": args.sweep_every,
             "checkpoints_requested": args.checkpoints,
         },
         "result": {
