@@ -866,8 +866,8 @@ def _df64_advance(bands_h, bands_l, offsets, state: _Df64State, b_perp,
     return lax.fori_loop(0, S, body, state)
 
 
-@functools.partial(jax.jit, static_argnames=("d",))
-def _df64_gram_row_chunk(Vh, Vl, r0, k, d: int):
+@functools.partial(jax.jit, static_argnames=("d", "rows"))
+def _df64_gram_row_chunk(Vh, Vl, r0, k, d: int, rows: int = _DF64_SWEEP_COLS):
     """max |(VᵀV − I)[rows r0..r0+C·d)| against ALL columns — one bounded
     device call (~seconds at flagship shape). The monolithic double-fori
     version was a multi-minute single call that reliably killed this
@@ -875,24 +875,26 @@ def _df64_gram_row_chunk(Vh, Vl, r0, k, d: int):
     checkpoint); the host-chunked outer loop keeps every call inside the
     tunnel's patience, mirroring the pass-2 segmenting rationale."""
     pdt = jnp.float64
-    C_ = _DF64_SWEEP_COLS
-    rows = Vh.shape[0]
+    C_ = rows
+    total_rows = Vh.shape[0]
     n = Vh.shape[1]
-    nch = rows // (C_ * d)
+    nch = total_rows // (_DF64_SWEEP_COLS * d)
     z32 = jnp.zeros((), jnp.int32)
+    r0 = jnp.minimum(r0, jnp.asarray(total_rows - C_ * d, jnp.int32))
     Ah = lax.dynamic_slice(Vh, (r0, z32), (C_ * d, n))
     Al = lax.dynamic_slice(Vl, (r0, z32), (C_ * d, n))
 
+    Cb = _DF64_SWEEP_COLS
     def inner(cj, acc):
-        r1 = jnp.asarray(cj * (C_ * d), jnp.int32)
-        Bh = lax.dynamic_slice(Vh, (r1, z32), (C_ * d, n))
-        Bl = lax.dynamic_slice(Vl, (r1, z32), (C_ * d, n))
+        r1 = jnp.asarray(cj * (Cb * d), jnp.int32)
+        Bh = lax.dynamic_slice(Vh, (r1, z32), (Cb * d, n))
+        Bl = lax.dynamic_slice(Vl, (r1, z32), (Cb * d, n))
         G = (jnp.einsum("an,bn->ab", Ah, Bh, preferred_element_type=pdt)
              + jnp.einsum("an,bn->ab", Ah, Bl, preferred_element_type=pdt)
              + jnp.einsum("an,bn->ab", Al, Bh, preferred_element_type=pdt)
              + jnp.einsum("an,bn->ab", Al, Bl, preferred_element_type=pdt))
         ia = r0 + jnp.arange(C_ * d)
-        jb = r1 + jnp.arange(C_ * d)
+        jb = r1 + jnp.arange(Cb * d)
         same_s = (ia[:, None] % d) == (jb[None, :] % d)
         active = ((ia[:, None] // d) < k) & ((jb[None, :] // d) < k) & same_s
         dev = jnp.abs(G - (ia[:, None] == jb[None, :]).astype(pdt))
@@ -902,9 +904,11 @@ def _df64_gram_row_chunk(Vh, Vl, r0, k, d: int):
 
 
 def _df64_gram_deviation_host(Vh, Vl, k: int, d: int) -> float:
-    """Full-basis max|VᵀV − I| via tunnel-safe row-chunk calls (host loop)."""
-    C_ = _DF64_SWEEP_COLS
-    nch = Vh.shape[0] // (C_ * d)
+    """Full-basis max|VᵀV − I| via tunnel-safe row-chunk calls (host loop).
+    Row width 2x the sweep chunk: halves the call count (each call reads
+    the full active basis) while staying well inside the worker's patience."""
+    C_ = 2 * _DF64_SWEEP_COLS
+    nch = -(-Vh.shape[0] // (C_ * d))
     dev = 0.0
     kk = jnp.asarray(k, jnp.int32)
     done = 0
@@ -913,7 +917,7 @@ def _df64_gram_deviation_host(Vh, Vl, k: int, d: int) -> float:
             if ci * C_ >= k:
                 break
             v = _df64_gram_row_chunk(
-                Vh, Vl, jnp.asarray(ci * C_ * d, jnp.int32), kk, d)
+                Vh, Vl, jnp.asarray(ci * C_ * d, jnp.int32), kk, d, rows=C_)
             jax.block_until_ready(v)
             dev = max(dev, float(v))
             done = ci + 1
