@@ -48,7 +48,7 @@ from .ops.orth import (
     _replace_lucky,
     _subtract_span,
 )
-from .solver import _resolve_config, projected_step
+from .solver import _check_identical_factors, _resolve_config, projected_step
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
 
 __all__ = ["solve_block", "block_krylov_step", "init_block_state"]
@@ -294,6 +294,7 @@ def solve_block(
     B = jnp.asarray(B)
     if B.ndim != 3 or B.shape[1] != op.d or B.shape[2] != op.n:
         raise ValueError(f"B must be (R, d, n) = (R, {op.d}, {op.n}), got {B.shape}")
+    _check_identical_factors(config, op, B)
     R = B.shape[0]
     if not op.symmetric and config.orth != "arnoldi":
         raise ValueError("nonsymmetric operators require orth='arnoldi'")

@@ -131,8 +131,18 @@ def main():
     # certify OUTSIDE the solve (guarded below): the cross-check pulls the
     # solution to host, and a device/tunnel fault there must not lose the run
     state_cache = args.state_cache
+    storage_resolved = (
+        args.storage if args.storage != "auto"
+        else ("twopass" if jax.default_backend() == "tpu" else "full")
+    )
     if state_cache == "auto":
-        state_cache = f"/tmp/tk_ns_state_n{args.n}_m{args.m}_k{args.kmax}.npz"
+        # crash-resume state persistence exists for storage='twopass' only
+        # (deflate.py keeps the df64/segmented basis device-resident); 'auto'
+        # must not hand solve_deflated a path it will reject
+        state_cache = (
+            f"/tmp/tk_ns_state_n{args.n}_m{args.m}_k{args.kmax}.npz"
+            if storage_resolved == "twopass" else None
+        )
     elif state_cache == "none":
         state_cache = None
     if state_cache:

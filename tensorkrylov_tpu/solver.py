@@ -472,6 +472,37 @@ def _resolve_config(config: SolverConfig, op: KroneckerSumOperator, host_project
     return config
 
 
+def _check_identical_factors(config: SolverConfig, op: KroneckerSumOperator, b):
+    """Guard the identical_factors fast path: it diagonalizes only factor 0's
+    PROJECTED matrix H_0 and broadcasts — valid only when all A_s AND all
+    start vectors b_s coincide (H_s depends on b_s). The reference makes the
+    same joint assumption implicitly (its random_rhs replicates one draw,
+    /root/reference/src/system.jl:5-11). Violations previously produced a
+    SILENT convergence stall (the broadcast eigenbasis is wrong for factors
+    s > 0); b/bands are concrete at the public API boundary, so this is a
+    cheap host check (skipped for tracers)."""
+    if not config.identical_factors:
+        return
+    import numpy as _np
+
+    try:
+        bh = _np.asarray(b)
+        bands = _np.asarray(op.bands)
+    except Exception:  # tracers inside an outer jit — cannot check
+        return
+    # b may be (d, n) (rank-1) or (R, d, n) (rank-R: per-term factor rows)
+    rows_ok = bool(_np.all(bh == bh[..., :1, :]))
+    bands_ok = bool(_np.all(bands == bands[:1]))
+    if not (rows_ok and bands_ok):
+        what = "factor matrices" if not bands_ok else "RHS factor vectors b_s"
+        raise ValueError(
+            f"identical_factors=True requires identical {what} across the d "
+            "modes (the fast path broadcasts factor 0's projected "
+            "eigendecomposition, which depends on BOTH A_s and b_s); use "
+            "identical_factors=False for distinct factors/RHS rows"
+        )
+
+
 def solve(
     op: KroneckerSumOperator,
     b,
@@ -493,6 +524,7 @@ def solve(
     if not op.symmetric and config.orth != "arnoldi":
         raise ValueError("nonsymmetric operators require orth='arnoldi'")
     config = _resolve_config(config, op)
+    _check_identical_factors(config, op, b)
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
     return _solve_jit(op, b, tables, config)
@@ -545,6 +577,7 @@ def solve_host_projected(
     config = config or SolverConfig()
     config = _resolve_config(config, op, host_projected=True)
     b = jnp.asarray(b)
+    _check_identical_factors(config, op, b)
     if not op.symmetric and config.orth != "arnoldi":
         raise ValueError("nonsymmetric operators require orth='arnoldi'")
     cpu = jax.local_devices(backend="cpu")[0]
@@ -675,6 +708,7 @@ def solve_resumable(
 
     config = _resolve_config(config or SolverConfig(), op)
     b = jnp.asarray(b)
+    _check_identical_factors(config, op, b)
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
 
@@ -744,6 +778,7 @@ def solve_multi_rhs(
     B = jnp.asarray(B)
     if B.ndim != 3 or B.shape[1] != op.d or B.shape[2] != op.n:
         raise ValueError(f"B must be (R, d, n) = (R, {op.d}, {op.n}), got {B.shape}")
+    _check_identical_factors(config, op, B)
     if not op.symmetric and config.orth != "arnoldi":
         raise ValueError("nonsymmetric operators require orth='arnoldi'")
     if op.symmetric and tables is None:

@@ -67,6 +67,19 @@ def test_spectral_sources_consistent(source):
     assert tk.kron_residual_dense(op, res.x, np.asarray(b)) < 1e-7, source
 
 
+def test_identical_factors_guard_rejects_distinct_rhs():
+    """identical_factors=True with per-factor-distinct b silently stalled
+    before the guard (the fast path broadcasts factor 0's projected
+    eigendecomposition, which depends on b_s): must raise, not stall."""
+    op = tk.laplace(3, 25)
+    b = _normalized_rhs(3, 25, 12, identical=False)
+    with pytest.raises(ValueError, match="identical_factors"):
+        tk.solve(op, b, SolverConfig(kmax=25, tol=1e-7, identical_factors=True))
+    B = jnp.stack([b, b])  # rank-2 RHS, distinct rows inside each term
+    with pytest.raises(ValueError, match="identical_factors"):
+        tk.solve_block(op, B, SolverConfig(kmax=8, identical_factors=True))
+
+
 def test_identical_factors_fast_path():
     op = tk.laplace(3, 25)
     b = _normalized_rhs(3, 25, 12)
