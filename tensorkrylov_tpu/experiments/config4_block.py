@@ -37,6 +37,9 @@ def main():
     p.add_argument("--rank", type=int, default=4)
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--kmax", type=int, default=360, help="block iterations")
+    p.add_argument("--check-every", type=int, default=8,
+                   help="residual-evaluation cadence (each check pays a "
+                        "dense eigh of the (d, kR, kR) projected batch)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--skip-multi", action="store_true",
@@ -65,6 +68,7 @@ def main():
     B = jnp.asarray(B)
 
     cfg = tk.SolverConfig(kmax=args.kmax, tol=args.tol,
+                          check_every=args.check_every,
                           orth="lanczos_reorth", spectral_source="H")
 
     # ‖b‖ of the rank-R RHS via the per-mode Gram (host longdouble)
@@ -90,7 +94,9 @@ def main():
     rb = tk.solve_block(op, B, cfg)
     jax.block_until_ready(rb.x.weights)
     t_block = time.perf_counter() - t0
-    est_b = float(np.asarray(rb.relative_residual)[rb.niterations - 1])
+    # the final evaluated entry: convergence lands ON a check step, so
+    # index niterations is set; earlier non-check steps hold inf
+    est_b = float(np.asarray(rb.relative_residual)[int(rb.niterations)])
     mv_block = int(rb.niterations) * args.rank * args.d
     print(f"block: status={rb.status} k={int(rb.niterations)} blocks "
           f"({mv_block} matvecs) est={est_b:.3e} {t_block:.1f}s", flush=True)
