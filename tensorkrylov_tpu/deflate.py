@@ -1639,14 +1639,18 @@ def solve_deflated(
     (every SpMV runs the explicit shard_map + ppermute halo path,
     parallel/halo.py). SURVEY.md §2.14.2; BASELINE.json config 5.
 
-    state_cache (storage='twopass' only): path to an .npz where the
-    recurrence state (the tridiagonal + the two live vectors — ~45 MB at
-    flagship size) is persisted after every completed checkpoint segment,
-    and resumed from on the next call with matching shapes. Built for this
-    machine's flaky tunneled TPU worker, which can die mid-run: a crashed
-    flagship solve restarts from its last checkpoint instead of step 0
-    (reference analogue: experiment persistence,
-    /root/reference/experiments/experiment_common.jl:115-143).
+    state_cache (storage='twopass' or 'df64'): path to an .npz where the
+    recurrence state is persisted after every completed checkpoint segment,
+    and resumed from on the next call with matching shapes/strides. For
+    twopass that is the tridiagonal + the two live vectors (~45 MB at
+    flagship size); for df64 it is the FULL recording state including the
+    active f32-pair basis prefix (~2·k·d·n·4 bytes — ~2.6 GB at the
+    flagship deciding checkpoint; f32 transfers, no X64-split tax), so a
+    resumed certified solve continues bit-exactly. Built for this machine's
+    flaky tunneled TPU worker, which dies after ~10-16 min of activity
+    (BASELINE.md r4): a crashed flagship solve restarts from its last
+    checkpoint instead of step 0 (reference analogue: experiment
+    persistence, /root/reference/experiments/experiment_common.jl:115-143).
 
     project_every (storage='twopass'): run the U-projection every p-th step
     only (see _advance_light — the projection GEMM dominates the flagship
@@ -1772,11 +1776,39 @@ def solve_deflated(
     # resume BEFORE any device work: a fully-resumed twopass solve with host
     # checkpoint algebra and host pass-2 never touches the device at all —
     # the crash-recovery path on this machine's flaky tunneled TPU worker.
-    if state_cache is not None and storage != "twopass":
-        raise ValueError("state_cache requires storage='twopass'")
+    if state_cache is not None and storage not in ("twopass", "df64"):
+        raise ValueError("state_cache requires storage='twopass' or 'df64'")
     resume_np = None
+    resume_df64_np = None
     resumed_k_prev = 1
-    if state_cache is not None and os.path.exists(state_cache):
+    if state_cache is not None and storage == "df64" and os.path.exists(state_cache):
+        # df64 crash-resume: the full recording state (incl. the f32-pair
+        # basis prefix) persisted at checkpoint boundaries. Motivation: the
+        # tunneled TPU worker on this machine dies after ~10-16 min of
+        # activity (BASELINE.md r4) — a flagship attempt that cannot resume
+        # loses everything; with per-checkpoint persistence each attempt
+        # only needs to survive one checkpoint segment.
+        z = np.load(state_cache)
+        ok = (
+            z.get("storage", None) is not None
+            and str(z["storage"]) == "df64"
+            and z["od"].shape == (op.d, kmax + 1)
+            and int(z["n"]) == op.n
+            and int(z["m"]) == basis.m
+            and int(z["project_every"]) == project_every
+            and int(z["sweep_every"]) == sweep_every
+        )
+        if not ok:
+            raise ValueError(
+                f"state_cache {state_cache} does not match this df64 solve "
+                "(storage/shape/m/stride mismatch — stale cache?)"
+            )
+        resume_df64_np = {f: np.asarray(z[f]) for f in (
+            "dg", "od", "btil", "vp_h", "vp_l", "vq_h", "vq_l", "beta",
+            "leak", "sweep_overlap", "Vh_act", "Vl_act", "W", "C", "dev",
+        )}
+        resumed_k_prev = int(z["k_prev"])
+    elif state_cache is not None and os.path.exists(state_cache):
         z = np.load(state_cache)
         if z["od"].shape == (op.d, kmax + 1) and z["vp"].shape == (op.d, op.n):
             resume_np = {f: np.asarray(z[f]) for f in
@@ -1894,6 +1926,26 @@ def solve_deflated(
                 jnp.zeros((d_, basis.m, K_pad), jnp.float32),
                 jnp.zeros((d_, kmax + 1), pdt),
             )
+            if resume_df64_np is not None:
+                r_ = resume_df64_np
+                rows_act = r_["Vh_act"].shape[0]
+                Vh0 = lax.dynamic_update_slice(
+                    state.Vh, jnp.asarray(r_["Vh_act"]), (0, 0))
+                Vl0 = lax.dynamic_update_slice(
+                    state.Vl, jnp.asarray(r_["Vl_act"]), (0, 0))
+                state = _Df64State(
+                    jnp.asarray(r_["dg"], pdt), jnp.asarray(r_["od"], pdt),
+                    jnp.asarray(r_["btil"], pdt),
+                    jnp.asarray(r_["vp_h"]), jnp.asarray(r_["vp_l"]),
+                    jnp.asarray(r_["vq_h"]), jnp.asarray(r_["vq_l"]),
+                    jnp.asarray(r_["beta"], pdt),
+                    jnp.asarray(r_["leak"], pdt),
+                    jnp.asarray(r_["sweep_overlap"], pdt),
+                    Vh0, Vl0,
+                    jnp.asarray(r_["W"]), jnp.asarray(r_["C"]),
+                    jnp.asarray(r_["dev"], pdt),
+                )
+                del resume_df64_np, r_
         if storage in ("twopass", "segmented"):
             b_norms_d = jnp.linalg.norm(b_perp, axis=1)
             v0 = b_perp / jnp.where(b_norms_d > 0, b_norms_d, 1.0)[:, None]
@@ -1934,6 +1986,8 @@ def solve_deflated(
                 resume_np["leak"],
             )
         k_prev = resumed_k_prev
+    elif resumed_k_prev > 1 and storage == "df64":
+        k_prev = resumed_k_prev  # state fields already restored above
 
     def _save_state(st: _LightState, k_prev: int):
         if state_cache is None:
@@ -1948,6 +2002,40 @@ def solve_deflated(
             project_every=np.asarray(project_every),
         )
         os.replace(tmp, state_cache)
+
+    def _save_state_df64(st: _Df64State, k_prev: int):
+        """Persist the full df64 recording state at a checkpoint boundary.
+        Only the ACTIVE basis-prefix rows (< k_prev·d, k-major) are written —
+        f32 transfers, no X64-split tax; the small f64 arrays are exact.
+        Atomic replace, same as the twopass cache."""
+        if state_cache is None:
+            return
+        import time as _time
+
+        t0 = _time.perf_counter()
+        rows_act = k_prev * op.d
+        tmp = state_cache + ".tmp.npz"
+        np.savez(
+            tmp,
+            storage=np.asarray("df64"),
+            n=np.asarray(op.n), m=np.asarray(basis.m),
+            k_prev=np.asarray(k_prev),
+            project_every=np.asarray(project_every),
+            sweep_every=np.asarray(sweep_every),
+            dg=np.asarray(st.dg), od=np.asarray(st.od),
+            btil=np.asarray(st.btil), beta=np.asarray(st.beta),
+            vp_h=np.asarray(st.vp_h), vp_l=np.asarray(st.vp_l),
+            vq_h=np.asarray(st.vq_h), vq_l=np.asarray(st.vq_l),
+            leak=np.asarray(st.leak),
+            sweep_overlap=np.asarray(st.sweep_overlap),
+            Vh_act=np.asarray(st.Vh[:rows_act]),
+            Vl_act=np.asarray(st.Vl[:rows_act]),
+            W=np.asarray(st.W), C=np.asarray(st.C), dev=np.asarray(st.dev),
+        )
+        os.replace(tmp, state_cache)
+        if verbose:
+            print(f"  [solve_deflated] df64 state saved (k={k_prev - 1}, "
+                  f"{_time.perf_counter() - t0:.1f}s)", flush=True)
 
     segs: List[jax.Array] = []
     boundary_drift = None
@@ -1975,6 +2063,7 @@ def solve_deflated(
                         sweep_every=sweep_every,
                     )
                     k_prev += S_eff
+                _save_state_df64(state, k_prev)
             elif storage == "segmented":
                 while k_prev <= ck:
                     state, Vseg = _advance_light_store(

@@ -121,6 +121,16 @@ def main():
                  "is rank-1); kappa set so plain block Krylov certifies in f64"),
     }
 
+    # persist the block evidence BEFORE the comparison run: a worker fault
+    # during the (optional) multi-RHS solve must not lose the artifact
+    path = args.out or os.path.join(
+        os.path.dirname(__file__), "data",
+        f"config4_block_d{args.d}_n{args.n}_r{args.rank}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("saved (block-only)", path, flush=True)
+
     # ---- comparison: R independent vmapped rank-1 solves ----
     if not args.skip_multi:
         t0 = time.perf_counter()
@@ -140,10 +150,6 @@ def main():
         }
         out["block_vs_multi_matvec_ratio"] = mv_block / max(mv_multi, 1)
 
-    path = args.out or os.path.join(
-        os.path.dirname(__file__), "data",
-        f"config4_block_d{args.d}_n{args.n}_r{args.rank}.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("saved", path, flush=True)

@@ -136,12 +136,13 @@ def main():
         else ("twopass" if jax.default_backend() == "tpu" else "full")
     )
     if state_cache == "auto":
-        # crash-resume state persistence exists for storage='twopass' only
-        # (deflate.py keeps the df64/segmented basis device-resident); 'auto'
-        # must not hand solve_deflated a path it will reject
+        # crash-resume persistence exists for twopass and df64 storage
+        # (df64 caches carry the basis prefix — keyed per shape/m/kmax so a
+        # stale file from another recipe is rejected, not silently resumed)
         state_cache = (
-            f"/tmp/tk_ns_state_n{args.n}_m{args.m}_k{args.kmax}.npz"
-            if storage_resolved == "twopass" else None
+            f"/tmp/tk_ns_state_{storage_resolved}_n{args.n}_m{args.m}"
+            f"_k{args.kmax}.npz"
+            if storage_resolved in ("twopass", "df64") else None
         )
     elif state_cache == "none":
         state_cache = None
