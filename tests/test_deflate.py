@@ -452,6 +452,7 @@ def test_df64_storage_matches_full_and_certifies():
     assert rd.certified_bound[-1] <= 2.0 * td + 1e-12
 
 
+@pytest.mark.slow  # ADVICE-regression variant of the fast df64 core test
 def test_df64_project_every_strided():
     """project_every > 1 on df64 storage (ADVICE r3: the parameter used to
     be accepted-but-ignored): the projection runs on the stride, skipped

@@ -54,6 +54,7 @@ def test_df64_resume_bit_exact(tmp_path):
     assert int(np.load(cache)["k_prev"]) == 17
 
 
+@pytest.mark.slow  # negative-path variants of the fast bit-exact test
 def test_df64_resume_rejects_stale_cache(tmp_path):
     op, b = _problem()
     cache = str(tmp_path / "df64_state.npz")
