@@ -46,6 +46,10 @@ def interpret_cross_check(measured, floor, certified_bound, tol):
                     "the measured value")
         return ("above certified bound but within tol: certificate slack "
                 "exceeded while the solve still meets the target")
+    if measured > tol:
+        return ("above floor AND above tol: the estimate is NOT confirmed - "
+                "true residual is the measured value (estimate floored by "
+                "working-precision noise)")
     return "above floor: independent basis-free confirmation"
 
 
