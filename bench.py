@@ -236,11 +236,15 @@ def _bench_resident_lanczos_subprocess(d, n, timeout=420):
     """Time the resident multi-step Lanczos kernel in a SUBPROCESS with a
     timeout: a Mosaic compile hang in the experimental kernel must not take
     down the headline bench (same guard as the resident-SpMV child).
-    Returns 0.0 on any failure/rejection."""
+    Returns 0.0 on any failure/rejection — but PRINTS the failure reason
+    (exception type + the tail of the child's stderr) first: ADVICE r4 —
+    an unsupported/broken kernel must be distinguishable from a timeout in
+    the bench output, as the replaced inline path's Mosaic messages were."""
     import json as _json
     import subprocess
     import sys
 
+    out = None
     try:
         out = subprocess.run(
             [sys.executable, "-c", _RESIDENT_LANCZOS_CHILD % (d, n)],
@@ -249,8 +253,22 @@ def _bench_resident_lanczos_subprocess(d, n, timeout=420):
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):
                 return float(_json.loads(line)["gnnz"])
-    except Exception:
-        pass
+        print(f"[bench] resident-lanczos child exited rc={out.returncode} "
+              "with no JSON line", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        print(f"[bench] resident-lanczos child TIMED OUT after {timeout}s",
+              file=sys.stderr)
+        out = e
+    except Exception as e:  # noqa: BLE001 — report, keep the bench alive
+        print(f"[bench] resident-lanczos child failed: {type(e).__name__}: "
+              f"{e}", file=sys.stderr)
+    stderr = getattr(out, "stderr", None)
+    if stderr:
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
+        tail = "\n".join(str(stderr).strip().splitlines()[-8:])
+        print(f"[bench] resident-lanczos child stderr tail:\n{tail}",
+              file=sys.stderr)
     return 0.0
 
 

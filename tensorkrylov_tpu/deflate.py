@@ -929,6 +929,37 @@ def _df64_gram_deviation_host(Vh, Vl, k: int, d: int) -> float:
     return dev
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
+def _df64_assemble_chunk(acc, Vh, Vl, r0, Ych, Ycl, rows: int):
+    """acc (d, n, t) f64 += Σ_k V_pair[k, s, :]·Yv_pair[s, k, t] over one
+    row chunk of the stored basis. All big operands enter as f32 (no
+    X64-split tax); the 3-product pair GEMM accumulates in f64 (~7.5e-15,
+    BASELINE.md r3). Part of the final='device' assembly that replaces the
+    host basis pull (~4 GB ≈ 45 min at this tunnel's 1.6 MB/s)."""
+    d, n, t = acc.shape
+    f64 = jnp.float64
+    z32 = jnp.zeros((), jnp.int32)
+    Vhc = lax.dynamic_slice(Vh, (r0, z32), (rows * d, n)).reshape(rows, d, n)
+    Vlc = lax.dynamic_slice(Vl, (r0, z32), (rows * d, n)).reshape(rows, d, n)
+    acc = acc + (
+        jnp.einsum("kdn,dkt->dnt", Vhc, Ych, preferred_element_type=f64)
+        + jnp.einsum("kdn,dkt->dnt", Vhc, Ycl, preferred_element_type=f64)
+        + jnp.einsum("kdn,dkt->dnt", Vlc, Ych, preferred_element_type=f64))
+    return acc
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _df64_ulift_chunk(acc, Uhc, Ulc, Yuh, Yul):
+    """acc (d, n, t) f64 += U_pair[:, chunk]·Yu_pair[d, chunk, t] (shared
+    deflation basis; same 3-product pair form as _df64_assemble_chunk)."""
+    f64 = jnp.float64
+    acc = acc + (
+        jnp.einsum("nm,dmt->dnt", Uhc, Yuh, preferred_element_type=f64)
+        + jnp.einsum("nm,dmt->dnt", Uhc, Yul, preferred_element_type=f64)
+        + jnp.einsum("nm,dmt->dnt", Ulc, Yuh, preferred_element_type=f64))
+    return acc
+
+
 class Pass2Audit(NamedTuple):
     """Replay-time orthonormality evidence (VERDICT r2 weak #1/#5):
 
@@ -1601,6 +1632,8 @@ def solve_deflated(
     pass2_impl: str = "auto",
     segment: int = 32,
     sweep_every: int = 1,
+    final: str = "auto",
+    save_state: bool = True,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -1656,6 +1689,23 @@ def solve_deflated(
     only (see _advance_light — the projection GEMM dominates the flagship
     step; drift control does not need it every step). The measured
     pre-projection leak is returned as DeflatedResult.projection_leak.
+
+    final ('auto'|'host'|'device', storage='df64' only): where the solution
+    assembly + certify cross-check run. 'host' (the r4 behaviour) pulls the
+    full f32-pair basis to numpy — ~4 GB at flagship size, which at this
+    tunnel's MEASURED 1.6 MB/s pull rate (r5 probe) is ~45 min of transfer
+    and reliably outlives the worker. 'device' assembles x = U·Yu + V·Yv in
+    chunked pair-GEMMs on device and runs the basis-free CP cross-check
+    there too (utils/cp.py:cp_residual_cross_check_device), pulling only
+    the (d, 1+2t, 1+2t) small Gram (~2.6 MB); the result's x keeps its
+    factors on device. 'auto' → 'host' (unchanged default).
+
+    save_state: set False to use state_cache as resume-only (no writes).
+    The df64 state save pulls the ~k·d·n·8-byte basis prefix — sound on a
+    directly-attached TPU, but at this tunnel's 1.6 MB/s pull rate a
+    single flagship save costs longer than the worker's ~10-16 min life;
+    the r5 flagship recipe resumes from an existing checkpoint and accepts
+    restart-from-cache as the failure mode instead of saving.
     """
     config = config or SolverConfig()
     b = jnp.asarray(b)
@@ -1760,6 +1810,12 @@ def solve_deflated(
             for ck in checkpoints
         })
 
+    if final == "auto":
+        final = "host"
+    if final not in ("host", "device"):
+        raise ValueError(f"final must be 'auto'|'host'|'device', got {final!r}")
+    if final == "device" and storage != "df64":
+        raise ValueError("final='device' is implemented for storage='df64'")
     if comm not in ("gspmd", "ring"):
         raise ValueError(f"comm must be 'gspmd' or 'ring', got {comm!r}")
     if pass2_impl == "auto":
@@ -1778,6 +1834,20 @@ def solve_deflated(
     # the crash-recovery path on this machine's flaky tunneled TPU worker.
     if state_cache is not None and storage not in ("twopass", "df64"):
         raise ValueError("state_cache requires storage='twopass' or 'df64'")
+    # problem fingerprint (ADVICE r4 medium): the shape/m/stride check alone
+    # accepts a cache from a solve with different kappa/shift/seed/b — same
+    # n, d, m, kmax — and silently resumes it into a wrong-but-'certified'
+    # result. Saved caches carry this hash; loads reject a mismatch.
+    # Legacy (r4) caches lack the field and load with a warning.
+    import hashlib as _hashlib
+
+    _fp_h = _hashlib.sha256()
+    _fp_h.update(bands_host.tobytes())
+    _fp_h.update(np.asarray(op.offsets, np.int64).tobytes())
+    _fp_h.update(b_perp_np.tobytes())
+    _fp_h.update(lam_np.tobytes())
+    problem_fp = _fp_h.hexdigest()
+    del _fp_h
     resume_np = None
     resume_df64_np = None
     resumed_k_prev = 1
@@ -1803,6 +1873,18 @@ def solve_deflated(
                 f"state_cache {state_cache} does not match this df64 solve "
                 "(storage/shape/m/stride mismatch — stale cache?)"
             )
+        if "fingerprint" in z.files:
+            if str(z["fingerprint"]) != problem_fp:
+                raise ValueError(
+                    f"state_cache {state_cache} was recorded for a DIFFERENT "
+                    "problem (operator/RHS/deflation fingerprint mismatch) — "
+                    "same shapes, different kappa/shift/seed/b. Refusing to "
+                    "resume it into a wrong-but-certified result."
+                )
+        else:
+            print(f"[solve_deflated] WARNING: legacy state_cache "
+                  f"{state_cache} has no problem fingerprint; shape checks "
+                  "passed but operator/RHS identity is unverified", flush=True)
         resume_df64_np = {f: np.asarray(z[f]) for f in (
             "dg", "od", "btil", "vp_h", "vp_l", "vq_h", "vq_l", "beta",
             "leak", "sweep_overlap", "Vh_act", "Vl_act", "W", "C", "dev",
@@ -1810,7 +1892,16 @@ def solve_deflated(
         resumed_k_prev = int(z["k_prev"])
     elif state_cache is not None and os.path.exists(state_cache):
         z = np.load(state_cache)
-        if z["od"].shape == (op.d, kmax + 1) and z["vp"].shape == (op.d, op.n):
+        # ADVICE r4: a twopass solve pointed at a df64-written cache must
+        # fall through to the clean stale-cache error, not KeyError on 'vp'
+        if ("vp" in z.files and "fingerprint" in z.files
+                and str(z["fingerprint"]) != problem_fp):
+            raise ValueError(
+                f"state_cache {state_cache} was recorded for a different "
+                "problem (fingerprint mismatch) — refusing to resume"
+            )
+        if ("vp" in z.files and z["od"].shape == (op.d, kmax + 1)
+                and z["vp"].shape == (op.d, op.n)):
             resume_np = {f: np.asarray(z[f]) for f in
                          ("dg", "od", "btil", "vp", "vpp", "beta")}
             resume_np["leak"] = (
@@ -1929,6 +2020,12 @@ def solve_deflated(
             if resume_df64_np is not None:
                 r_ = resume_df64_np
                 rows_act = r_["Vh_act"].shape[0]
+                if rows_act != resumed_k_prev * op.d:
+                    raise ValueError(
+                        f"state_cache basis prefix has {rows_act} rows but "
+                        f"k_prev={resumed_k_prev} implies "
+                        f"{resumed_k_prev * op.d} — corrupt cache?"
+                    )
                 Vh0 = lax.dynamic_update_slice(
                     state.Vh, jnp.asarray(r_["Vh_act"]), (0, 0))
                 Vl0 = lax.dynamic_update_slice(
@@ -1990,7 +2087,7 @@ def solve_deflated(
         k_prev = resumed_k_prev  # state fields already restored above
 
     def _save_state(st: _LightState, k_prev: int):
-        if state_cache is None:
+        if state_cache is None or not save_state:
             return
         tmp = state_cache + ".tmp.npz"
         np.savez(
@@ -2000,6 +2097,7 @@ def solve_deflated(
             vpp=np.asarray(st.vpp), beta=np.asarray(st.beta),
             k_prev=np.asarray(k_prev), leak=np.asarray(st.leak),
             project_every=np.asarray(project_every),
+            fingerprint=np.asarray(problem_fp),
         )
         os.replace(tmp, state_cache)
 
@@ -2008,7 +2106,7 @@ def solve_deflated(
         Only the ACTIVE basis-prefix rows (< k_prev·d, k-major) are written —
         f32 transfers, no X64-split tax; the small f64 arrays are exact.
         Atomic replace, same as the twopass cache."""
-        if state_cache is None:
+        if state_cache is None or not save_state:
             return
         import time as _time
 
@@ -2031,6 +2129,7 @@ def solve_deflated(
             Vh_act=np.asarray(st.Vh[:rows_act]),
             Vl_act=np.asarray(st.Vl[:rows_act]),
             W=np.asarray(st.W), C=np.asarray(st.C), dev=np.asarray(st.dev),
+            fingerprint=np.asarray(problem_fp),
         )
         os.replace(tmp, state_cache)
         if verbose:
@@ -2084,6 +2183,15 @@ def solve_deflated(
                 k_prev = ck + 1
             _save_state(state, k_prev) if storage == "twopass" else None
         if storage == "df64":
+            # pull only the ACTIVE W/C columns (recorded at steps <= ck) and
+            # zero-pad on host: at this tunnel's 1.6 MB/s pull rate the full
+            # (d, m, Kp) C buffer is ~30 s/checkpoint of dead transfer
+            Kp_ = state.W.shape[1]
+            W_np = np.zeros(state.W.shape, np.float32)
+            W_np[:, :, : ck + 1] = np.asarray(state.W[:, :, : ck + 1])
+            C_np2 = np.zeros(state.C.shape, np.float32)
+            C_np2[:, :, : ck + 1] = np.asarray(state.C[:, :, : ck + 1])
+
             def _eval_df64(gram_dev, frechet):
                 out = _evaluate_host_recorded(
                     np.asarray(state.dg), np.asarray(state.od),
@@ -2091,7 +2199,7 @@ def solve_deflated(
                     np.asarray(basis.lam), np.asarray(c), b_norm, lam_min,
                     np.asarray(coeffs.omega), np.asarray(coeffs.alpha),
                     np.asarray(coeffs.t_mask),
-                    np.asarray(state.W), np.asarray(state.C),
+                    W_np, C_np2,
                     np.asarray(state.dev), b0_norms_np, dev0_np,
                     _eft_eps(), lam_gersh_f, gram_dev, frechet=frechet,
                 )
@@ -2172,9 +2280,64 @@ def solve_deflated(
     leak_val = float(state.leak) if hasattr(state, "leak") else None
     n_probes = min(16, max(k_done - 1, 1))
     audit = None
+    device_check = None
     if storage == "full":
         xf = _assemble(U, state.V, jnp.asarray(Yu_np), jnp.asarray(Yv_np),
                        jnp.asarray(k_done, jnp.int32))
+    elif storage == "df64" and final == "device":
+        # device assembly + device cross-check: at this tunnel's measured
+        # 1.6 MB/s pull rate the host path's basis pull (~4 GB at flagship
+        # size) is ~45 min of transfer against a ~10-16 min worker life.
+        # Here x = U·Yu + V·Yv is accumulated on device in bounded pair-GEMM
+        # chunks, the basis-free CP residual Gram runs on device
+        # (cp_residual_cross_check_device), and only the (d, 1+2t, 1+2t)
+        # small Gram (~2.6 MB) crosses the tunnel.
+        K_ = od_np.shape[1]
+        d_, n_ = b_perp_np.shape
+        mask = (np.arange(K_)[None, :, None] < k_done)
+        Yv_m = Yv_np * mask
+        boundary_drift = float(state.sweep_overlap)
+        t_act = Yv_m.shape[2]
+        Kp_rows = state.Vh.shape[0] // d_
+        ROWS = _DF64_SWEEP_COLS
+        nch_a = min(-(-k_done // ROWS), Kp_rows // ROWS)
+        Yv_pad = np.zeros((d_, nch_a * ROWS, Yv_m.shape[2]), np.float64)
+        Yv_pad[:, : min(K_, nch_a * ROWS), :] = Yv_m[:, : nch_a * ROWS, :]
+        Yvh_np = Yv_pad.astype(np.float32)
+        Yvl_np = (Yv_pad - Yvh_np.astype(np.float64)).astype(np.float32)
+        acc = jnp.zeros((d_, n_, t_act), jnp.float64)
+        for ci in range(nch_a):
+            k0_ = ci * ROWS
+            acc = _df64_assemble_chunk(
+                acc, state.Vh, state.Vl, jnp.asarray(k0_ * d_, jnp.int32),
+                jnp.asarray(Yvh_np[:, k0_:k0_ + ROWS, :]),
+                jnp.asarray(Yvl_np[:, k0_:k0_ + ROWS, :]), rows=ROWS)
+        Yuh_np = Yu_np.astype(np.float32)
+        Yul_np = (Yu_np - Yuh_np.astype(np.float64)).astype(np.float32)
+        CM_U = min(256, m)
+        c0_ = 0
+        while c0_ < m:
+            c1_ = min(c0_ + CM_U, m)
+            acc = _df64_ulift_chunk(
+                acc, Uh[:, c0_:c1_], Ul[:, c0_:c1_],
+                jnp.asarray(Yuh_np[:, c0_:c1_, :]),
+                jnp.asarray(Yul_np[:, c0_:c1_, :]))
+            c0_ = c1_
+        state = None          # release the 2·Kp·d·n f32 basis before the
+        Uh = Ul = None        # cross-check Gram materializes its temps
+        xf = acc
+        if certify:
+            from .utils.cp import cp_residual_cross_check_device
+
+            try:
+                check = cp_residual_cross_check_device(
+                    op, np.asarray(weights, np.float64), xf,
+                    jnp.asarray(b_host, jnp.float64))
+                device_check = (check.value / b_norm, check.floor / b_norm)
+            except jax.errors.JaxRuntimeError as e:
+                print("[solve_deflated] device cross-check failed "
+                      f"({type(e).__name__}) — certificate evidence kept, "
+                      "measured_cp_residual=None", flush=True)
     elif storage == "df64":
         # host assembly from the f32 pair: pull the basis in bounded row
         # chunks (f32 transfers — no split tax), free nothing early (the
@@ -2262,7 +2425,9 @@ def solve_deflated(
     del state  # release the (K, d, n) basis before the certificate's
     # rank-(1+d·t) CP residual materializes (flagship HBM headroom)
     measured = measured_floor = None
-    if certify:
+    if device_check is not None:
+        measured, measured_floor = device_check
+    elif certify and final != "device":
         # structured Gram evaluation, fully on host: O(d·n·t) memory, and
         # the only device interaction is pulling xf when it was assembled
         # on-device (host pass-2 produces numpy xf directly)

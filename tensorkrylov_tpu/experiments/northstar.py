@@ -89,6 +89,16 @@ def main():
     p.add_argument("--project-every", type=int, default=1,
                    help="run the U-projection GEMM every p-th Lanczos step "
                         "(twopass storage; leak is measured and recorded)")
+    p.add_argument("--final", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="df64 assembly + cross-check location: 'device' "
+                        "pulls only the small residual Gram (~2.6 MB) "
+                        "instead of the ~4 GB basis — required through "
+                        "this machine's 1.6 MB/s tunnel")
+    p.add_argument("--no-state-save", action="store_true",
+                   help="use --state-cache for RESUME only (df64 saves "
+                        "pull the basis prefix; at 1.6 MB/s a flagship "
+                        "save outlives the worker)")
     p.add_argument("--state-cache", default="auto",
                    help="npz path for crash-resumable recurrence state "
                         "('auto' = /tmp keyed by n/m/kmax; 'none' disables)")
@@ -154,17 +164,21 @@ def main():
         print("state cache:", state_cache,
               "(resuming)" if os.path.exists(state_cache) else "(fresh)",
               flush=True)
-    res = tk.solve_deflated(op, b, cfg, basis=basis, certify=False,
+    res = tk.solve_deflated(op, b, cfg, basis=basis,
+                            certify=(args.final == "device"
+                                     and not args.no_certify),
                             checkpoints=args.checkpoints,
                             state_cache=state_cache,
                             project_every=args.project_every,
                             storage=args.storage,
                             sweep_every=args.sweep_every,
+                            final=args.final,
+                            save_state=not args.no_state_save,
                             verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
     cross = cross_err = None
-    if not args.no_certify:
+    if not args.no_certify and res.measured_cp_residual is None:
         try:
             from tensorkrylov_tpu.utils.cp import cp_residual_cross_check
 
@@ -236,6 +250,8 @@ def main():
             ),
             "project_every": args.project_every,
             "sweep_every": args.sweep_every,
+            "final": args.final,
+            "state_save": not args.no_state_save,
             "checkpoints_requested": args.checkpoints,
         },
         "result": {

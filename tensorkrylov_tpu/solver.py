@@ -488,7 +488,10 @@ def _check_identical_factors(config: SolverConfig, op: KroneckerSumOperator, b):
     try:
         bh = _np.asarray(b)
         bands = _np.asarray(op.bands)
-    except Exception:  # tracers inside an outer jit — cannot check
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        # tracers inside an outer jit — the guard is best-effort and only
+        # protects the eager public-API path (ADVICE r4: noted in solve())
         return
     # b may be (d, n) (rank-1) or (R, d, n) (rank-R: per-term factor rows)
     rows_ok = bool(_np.all(bh == bh[..., :1, :]))
@@ -514,6 +517,11 @@ def solve(
     User-facing analogue of solve_tensorized_system
     (/root/reference/src/system.jl:65-83) — but returns the solution (the
     reference discards it) plus full telemetry.
+
+    Note: the identical_factors precondition check is best-effort — it runs
+    only when b/op.bands are concrete (the eager public-API path). Inside
+    an outer jit the values are tracers and the guard is skipped; callers
+    jitting over solve() must uphold the precondition themselves.
     """
     config = config or SolverConfig()
     b = jnp.asarray(b)

@@ -24,6 +24,7 @@ __all__ = [
     "cp_dot_accurate",
     "cp_norm_accurate",
     "cp_residual_cross_check",
+    "cp_residual_cross_check_device",
     "cp_residual_cross_check_host",
     "cp_residual_cross_check_host_rankR",
     "host_spmv_bands",
@@ -169,6 +170,82 @@ def cp_residual_cross_check(op, x: CPTensor, b) -> ResidualCrossCheck:
     )
 
 
+@jax.jit
+def _gram_small_pair_chunk(Cc):
+    """(d, nc, R2) f64 column chunk → its (d, R2, R2) Gram contribution via
+    the explicit 3-product f32-pair GEMM (hi·hi + hi·lo + lo·hi with exact
+    f32 products and f64 accumulation — measured 7.5e-15 relative on this
+    TPU, BASELINE.md r3). The naive in-context f64 einsum was measured to
+    inflate cross-checks by ~6 decades on this backend (r2 n=8192
+    artifact), so the pair form is NOT an optimization — it is the only
+    device contraction accurate enough for certificate evidence."""
+    Ch = Cc.astype(jnp.float32)
+    Cl = (Cc - Ch.astype(jnp.float64)).astype(jnp.float32)
+    f64 = jnp.float64
+    return (jnp.einsum("dni,dnj->dij", Ch, Ch, preferred_element_type=f64)
+            + jnp.einsum("dni,dnj->dij", Ch, Cl, preferred_element_type=f64)
+            + jnp.einsum("dni,dnj->dij", Cl, Ch, preferred_element_type=f64)
+            + jnp.einsum("dni,dnj->dij", Cl, Cl, preferred_element_type=f64))
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def _spmv_bands_cols(bands, offsets, X):
+    """Device twin of host_spmv_bands for (d, n, t) column blocks, written
+    offset-by-offset with jnp.roll + edge masking (elementwise f64 — the
+    accurate class of emulated-f64 ops on this chip, ~2^-47)."""
+    d, nb, n = bands.shape
+    out = jnp.zeros_like(X)
+    for bidx in range(nb):
+        off = int(offsets[bidx])
+        col = bands[:, bidx, :]
+        if off == 0:
+            out = out + col[:, :, None] * X
+        elif off > 0:
+            shifted = jnp.roll(X, -off, axis=1)
+            mask = (jnp.arange(n) < n - off).astype(X.dtype)
+            out = out + (col * mask)[:, :, None] * shifted
+        else:
+            shifted = jnp.roll(X, -off, axis=1)
+            mask = (jnp.arange(n) >= -off).astype(X.dtype)
+            out = out + (col * mask)[:, :, None] * shifted
+    return out
+
+
+def cp_residual_cross_check_device(
+    op, weights, X_dev, b_dev, n_chunk: int = 16384,
+) -> ResidualCrossCheck:
+    """cp_residual_cross_check with the O(d·n·t²) Gram computed ON DEVICE,
+    pulling only the (d, 1+2t, 1+2t) small Gram (~MBs) to host for the
+    cancellative longdouble rank-pair contraction.
+
+    Built for this machine's tunneled TPU worker, whose device→host pull
+    rate was measured at ~1.6 MB/s (r5): pulling the (d, n, t) solution
+    factors at flagship size (~1 GB) costs ~10 min and reliably outlives
+    the worker, while this path transfers ~2.6 MB. X_dev: (d, n, t) f64
+    device solution factors; b_dev: (d, n) f64 device RHS."""
+    X_dev = jnp.asarray(X_dev, jnp.float64)
+    d, n, t = X_dev.shape
+    bands_dev = jnp.asarray(op.bands, jnp.float64)
+    AX = _spmv_bands_cols(bands_dev, tuple(int(o) for o in op.offsets), X_dev)
+    C_cols = jnp.concatenate(
+        [jnp.asarray(b_dev, jnp.float64)[:, :, None], X_dev, AX], axis=2)
+    R2 = 1 + 2 * t
+    G_dev = jnp.zeros((d, R2, R2), jnp.float64)
+    n0 = 0
+    while n0 < n:        # host loop: bounds the 8× f32-splat einsum temps
+        n1 = min(n0 + n_chunk, n)
+        G_dev = G_dev + _gram_small_pair_chunk(C_cols[:, n0:n1, :])
+        n0 = n1
+    G = np.asarray(G_dev)                       # the ONLY sizeable pull
+    # the device Gram entries are pair-GEMM grade, not exact-f64 grade:
+    # charge the floor with the measured 4-product pair error bound
+    # (~f64-accumulation scale; BASELINE.md r3 measured 7.5e-15 for the
+    # 3-product form, the lo·lo term removes its leading omission)
+    return _cross_check_from_gram(
+        G.astype(np.longdouble), np.asarray(weights, np.float64), d, t,
+        entry_eps=1e-15)
+
+
 def cp_residual_cross_check_host_rankR(
     bands: np.ndarray, offsets, weights: np.ndarray, factors: np.ndarray,
     B: np.ndarray, b_weights=None,
@@ -192,7 +269,9 @@ def cp_residual_cross_check_host_rankR(
 
 
 def _cross_check_from_gram(G_small, weights, d: int, t: int, R: int = 1,
-                           b_weights=None) -> ResidualCrossCheck:
+                           b_weights=None,
+                           entry_eps: float = float(np.finfo(np.float64).eps),
+                           ) -> ResidualCrossCheck:
     # column map of the full residual factor matrix, per mode s:
     # cols 0..R-1 = B_s; col R+s'·t+j = (A_s X_s)[:, j] if s' == s else X_s[:, j]
     sp = np.repeat(np.arange(d), t)                            # group of col
@@ -213,7 +292,7 @@ def _cross_check_from_gram(G_small, weights, d: int, t: int, R: int = 1,
         P_abs *= np.abs(Gs)
     aw = np.abs(w)
     mass = float(aw @ P_abs @ aw)                              # Σ|terms|, norm²
-    floor = float(np.sqrt(np.finfo(np.float64).eps * max(mass, 0.0)))
+    floor = float(np.sqrt(entry_eps * max(mass, 0.0)))
     value = float(np.sqrt(max(float(w @ P @ w), 0.0)))
     return ResidualCrossCheck(value, floor)
 
