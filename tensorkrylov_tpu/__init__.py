@@ -9,6 +9,7 @@ for JAX/XLA/Pallas; capability reference: thbake/TensorKrylov.jl
 from .types import CPTensor, KroneckerSumOperator, SolveResult, SolverConfig, Status
 from .solver import solve, solve_multi_rhs, MultiRhsResult, solve_host_projected, solve_resumable
 from .block import solve_block
+from .block_recorded import BlockRecordedResult, solve_block_recorded
 from .twopass import solve_two_pass
 from .refine import solve_refined, RefinedResult, cp_residual
 from .deflate import solve_deflated, deflation_basis, DeflationBasis, DeflatedResult
@@ -44,6 +45,8 @@ __all__ = [
     "solve_multi_rhs",
     "MultiRhsResult",
     "solve_block",
+    "solve_block_recorded",
+    "BlockRecordedResult",
     "solve_two_pass",
     "solve_refined",
     "solve_deflated",

@@ -222,14 +222,21 @@ def cp_residual_cross_check_device(
     rate was measured at ~1.6 MB/s (r5): pulling the (d, n, t) solution
     factors at flagship size (~1 GB) costs ~10 min and reliably outlives
     the worker, while this path transfers ~2.6 MB. X_dev: (d, n, t) f64
-    device solution factors; b_dev: (d, n) f64 device RHS."""
+    device solution factors; b_dev: (d, n) f64 rank-1 RHS, or (R, d, n)
+    for a rank-R tensor-product RHS (the block solvers' evidence —
+    device twin of cp_residual_cross_check_host_rankR)."""
     X_dev = jnp.asarray(X_dev, jnp.float64)
     d, n, t = X_dev.shape
+    b_dev = jnp.asarray(b_dev, jnp.float64)
+    if b_dev.ndim == 2:
+        B_cols = b_dev[:, :, None]                      # (d, n, 1)
+    else:
+        B_cols = jnp.moveaxis(b_dev, 0, 2)              # (R, d, n)→(d, n, R)
+    R = B_cols.shape[2]
     bands_dev = jnp.asarray(op.bands, jnp.float64)
     AX = _spmv_bands_cols(bands_dev, tuple(int(o) for o in op.offsets), X_dev)
-    C_cols = jnp.concatenate(
-        [jnp.asarray(b_dev, jnp.float64)[:, :, None], X_dev, AX], axis=2)
-    R2 = 1 + 2 * t
+    C_cols = jnp.concatenate([B_cols, X_dev, AX], axis=2)
+    R2 = R + 2 * t
     G_dev = jnp.zeros((d, R2, R2), jnp.float64)
     n0 = 0
     while n0 < n:        # host loop: bounds the 8× f32-splat einsum temps
@@ -243,7 +250,7 @@ def cp_residual_cross_check_device(
     # 3-product form, the lo·lo term removes its leading omission)
     return _cross_check_from_gram(
         G.astype(np.longdouble), np.asarray(weights, np.float64), d, t,
-        entry_eps=1e-15)
+        R=R, b_weights=np.ones(R), entry_eps=1e-15)
 
 
 def cp_residual_cross_check_host_rankR(
