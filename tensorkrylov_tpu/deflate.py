@@ -907,7 +907,7 @@ def _df64_gram_deviation_host(Vh, Vl, k: int, d: int) -> float:
     """Full-basis max|VᵀV − I| via tunnel-safe row-chunk calls (host loop).
     Row width 2x the sweep chunk: halves the call count (each call reads
     the full active basis) while staying well inside the worker's patience."""
-    C_ = 2 * _DF64_SWEEP_COLS
+    C_ = min(2 * _DF64_SWEEP_COLS, Vh.shape[0] // d)
     nch = -(-Vh.shape[0] // (C_ * d))
     dev = 0.0
     kk = jnp.asarray(k, jnp.int32)
@@ -1787,8 +1787,12 @@ def solve_deflated(
         # per-step FULL reorthogonalization against the df64-pair basis
         # happens inside the advance kernel
         reorth = "never"
-        if mesh is not None:
-            raise ValueError("storage='df64' does not support mesh yet")
+        if mesh is not None and comm == "ring":
+            # the expansion-arithmetic SpMV (triple_spmv_pairs) shifts via
+            # jnp.roll — GSPMD lowers that to collective-permutes over
+            # 'mode'; the explicit shard_map ring has no pair variant
+            raise ValueError("storage='df64' with mesh supports comm='gspmd' "
+                             "only (the pair SpMV shards via GSPMD)")
     if storage == "twopass":
         # no basis to sweep against; drift is measured (btil probe) instead
         reorth = "never"
@@ -1967,6 +1971,21 @@ def solve_deflated(
                      None if mesh is None else u_sh)
         Uh = Ul = bands_h = bands_l = None
         b0_norms_np = dev0_np = None
+        df64_pair_sh = df64_basis_sh = df64_rep_sh = None
+        if storage == "df64" and mesh is not None:
+            # GSPMD mode sharding of the pair recurrence (VERDICT r4 #5):
+            # every n-sized pair buffer shards its mode axis; the sweep /
+            # projection einsums contract over n and become psums on ICI;
+            # the pair SpMV's rolls lower to collective-permutes. The
+            # k-sized recorded algebra (W, C, dg, od, btil, dev) stays
+            # replicated — same layout story as solve_sharded.
+            from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+            df64_u_sh = _NS(mesh, _P("mode", None))          # (n, m)
+            df64_pair_sh = mode_sh                            # (d, n)
+            df64_basis_sh = _NS(mesh, _P(None, "mode"))      # (Kp·d, n)
+            df64_band_sh = _NS(mesh, _P(fs, None, "mode"))   # (d, nb, n)
+            df64_rep_sh = _NS(mesh, _P())                    # small arrays
         if storage == "df64":
             # everything big enters jit as f32 (pairs): no X64-split tax
             U_pair_np = np.asarray(basis.U, np.float64)
@@ -1977,13 +1996,18 @@ def solve_deflated(
                 )
             Uh_np = U_pair_np[0].astype(np.float32)
             Ul_np = (U_pair_np[0] - Uh_np.astype(np.float64)).astype(np.float32)
-            Uh = jnp.asarray(Uh_np)
-            Ul = jnp.asarray(Ul_np)
+            Uh = _put(jnp.asarray(Uh_np),
+                      None if mesh is None else df64_u_sh)
+            Ul = _put(jnp.asarray(Ul_np),
+                      None if mesh is None else df64_u_sh)
             del U_pair_np, Uh_np, Ul_np
             bnp = np.asarray(op.bands, np.float64)
             bh_np = bnp.astype(np.float32)
-            bands_h = jnp.asarray(bh_np)
-            bands_l = jnp.asarray((bnp - bh_np.astype(np.float64)).astype(np.float32))
+            bands_h = _put(jnp.asarray(bh_np),
+                           None if mesh is None else df64_band_sh)
+            bands_l = _put(
+                jnp.asarray((bnp - bh_np.astype(np.float64)).astype(np.float32)),
+                None if mesh is None else df64_band_sh)
             del bnp, bh_np
             # host-exact init: v0 pair + the exact representation deviation
             # dev0 = ||b_perp - beta0 * (vh0 + vl0)||  (charged to dev_term)
@@ -1997,25 +2021,31 @@ def solve_deflated(
                 - b0_norms_np[:, None] * pair0, axis=1), np.float64)
             d_, n_ = b_perp_np.shape
             K_pad = -(-(kmax + 1) // _DF64_SWEEP_COLS) * _DF64_SWEEP_COLS
-            Vh0 = jnp.zeros((K_pad * d_, n_), jnp.float32)
-            Vl0 = jnp.zeros((K_pad * d_, n_), jnp.float32)
-            Vh0 = lax.dynamic_update_slice(Vh0, jnp.asarray(vh0_np), (0, 0))
-            Vl0 = lax.dynamic_update_slice(Vl0, jnp.asarray(vl0_np), (0, 0))
+            _bsh = None if mesh is None else df64_basis_sh
+            _psh = None if mesh is None else df64_pair_sh
+            _rsh = None if mesh is None else df64_rep_sh
+            Vh0 = _put(jnp.zeros((K_pad * d_, n_), jnp.float32), _bsh)
+            Vl0 = _put(jnp.zeros((K_pad * d_, n_), jnp.float32), _bsh)
+            Vh0 = lax.dynamic_update_slice(
+                Vh0, _put(jnp.asarray(vh0_np), _psh), (0, 0))
+            Vl0 = lax.dynamic_update_slice(
+                Vl0, _put(jnp.asarray(vl0_np), _psh), (0, 0))
             state = _Df64State(
-                jnp.zeros((d_, kmax + 1), pdt),
-                jnp.zeros((d_, kmax + 1), pdt),
-                jnp.zeros((d_, kmax + 1), pdt).at[:, 0].set(
-                    jnp.asarray(b0_norms_np, pdt)),
-                jnp.asarray(vh0_np), jnp.asarray(vl0_np),
-                jnp.zeros((d_, n_), jnp.float32),
-                jnp.zeros((d_, n_), jnp.float32),
-                jnp.zeros((d_,), pdt),
-                jnp.zeros((), pdt),
-                jnp.zeros((), pdt),
+                _put(jnp.zeros((d_, kmax + 1), pdt), _rsh),
+                _put(jnp.zeros((d_, kmax + 1), pdt), _rsh),
+                _put(jnp.zeros((d_, kmax + 1), pdt).at[:, 0].set(
+                    jnp.asarray(b0_norms_np, pdt)), _rsh),
+                _put(jnp.asarray(vh0_np), _psh),
+                _put(jnp.asarray(vl0_np), _psh),
+                _put(jnp.zeros((d_, n_), jnp.float32), _psh),
+                _put(jnp.zeros((d_, n_), jnp.float32), _psh),
+                _put(jnp.zeros((d_,), pdt), _rsh),
+                _put(jnp.zeros((), pdt), _rsh),
+                _put(jnp.zeros((), pdt), _rsh),
                 Vh0, Vl0,
-                jnp.zeros((d_, K_pad, K_pad), jnp.float32),
-                jnp.zeros((d_, basis.m, K_pad), jnp.float32),
-                jnp.zeros((d_, kmax + 1), pdt),
+                _put(jnp.zeros((d_, K_pad, K_pad), jnp.float32), _rsh),
+                _put(jnp.zeros((d_, basis.m, K_pad), jnp.float32), _rsh),
+                _put(jnp.zeros((d_, kmax + 1), pdt), _rsh),
             )
             if resume_df64_np is not None:
                 r_ = resume_df64_np
@@ -2027,20 +2057,24 @@ def solve_deflated(
                         f"{resumed_k_prev * op.d} — corrupt cache?"
                     )
                 Vh0 = lax.dynamic_update_slice(
-                    state.Vh, jnp.asarray(r_["Vh_act"]), (0, 0))
+                    state.Vh, _put(jnp.asarray(r_["Vh_act"]), _bsh), (0, 0))
                 Vl0 = lax.dynamic_update_slice(
-                    state.Vl, jnp.asarray(r_["Vl_act"]), (0, 0))
+                    state.Vl, _put(jnp.asarray(r_["Vl_act"]), _bsh), (0, 0))
                 state = _Df64State(
-                    jnp.asarray(r_["dg"], pdt), jnp.asarray(r_["od"], pdt),
-                    jnp.asarray(r_["btil"], pdt),
-                    jnp.asarray(r_["vp_h"]), jnp.asarray(r_["vp_l"]),
-                    jnp.asarray(r_["vq_h"]), jnp.asarray(r_["vq_l"]),
-                    jnp.asarray(r_["beta"], pdt),
-                    jnp.asarray(r_["leak"], pdt),
-                    jnp.asarray(r_["sweep_overlap"], pdt),
+                    _put(jnp.asarray(r_["dg"], pdt), _rsh),
+                    _put(jnp.asarray(r_["od"], pdt), _rsh),
+                    _put(jnp.asarray(r_["btil"], pdt), _rsh),
+                    _put(jnp.asarray(r_["vp_h"]), _psh),
+                    _put(jnp.asarray(r_["vp_l"]), _psh),
+                    _put(jnp.asarray(r_["vq_h"]), _psh),
+                    _put(jnp.asarray(r_["vq_l"]), _psh),
+                    _put(jnp.asarray(r_["beta"], pdt), _rsh),
+                    _put(jnp.asarray(r_["leak"], pdt), _rsh),
+                    _put(jnp.asarray(r_["sweep_overlap"], pdt), _rsh),
                     Vh0, Vl0,
-                    jnp.asarray(r_["W"]), jnp.asarray(r_["C"]),
-                    jnp.asarray(r_["dev"], pdt),
+                    _put(jnp.asarray(r_["W"]), _rsh),
+                    _put(jnp.asarray(r_["C"]), _rsh),
+                    _put(jnp.asarray(r_["dev"], pdt), _rsh),
                 )
                 del resume_df64_np, r_
         if storage in ("twopass", "segmented"):
@@ -2305,7 +2339,12 @@ def solve_deflated(
         Yv_pad[:, : min(K_, nch_a * ROWS), :] = Yv_m[:, : nch_a * ROWS, :]
         Yvh_np = Yv_pad.astype(np.float32)
         Yvl_np = (Yv_pad - Yvh_np.astype(np.float64)).astype(np.float32)
-        acc = jnp.zeros((d_, n_, t_act), jnp.float64)
+        acc_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+            acc_sh = _NS(mesh, _P(fs, "mode", None))
+        acc = _put(jnp.zeros((d_, n_, t_act), jnp.float64), acc_sh)
         for ci in range(nch_a):
             k0_ = ci * ROWS
             acc = _df64_assemble_chunk(
@@ -2332,7 +2371,7 @@ def solve_deflated(
             try:
                 check = cp_residual_cross_check_device(
                     op, np.asarray(weights, np.float64), xf,
-                    jnp.asarray(b_host, jnp.float64))
+                    _put(jnp.asarray(b_host, jnp.float64), mode_sh))
                 device_check = (check.value / b_norm, check.floor / b_norm)
             except jax.errors.JaxRuntimeError as e:
                 print("[solve_deflated] device cross-check failed "

@@ -234,6 +234,14 @@ def cp_residual_cross_check_device(
         B_cols = jnp.moveaxis(b_dev, 0, 2)              # (R, d, n)→(d, n, R)
     R = B_cols.shape[2]
     bands_dev = jnp.asarray(op.bands, jnp.float64)
+    # multi-device X (mode-sharded solve): replicate the small bands over
+    # the same mesh so the eager/jit ops see one device set
+    x_sh = getattr(X_dev, "sharding", None)
+    x_mesh = getattr(x_sh, "mesh", None)
+    if x_mesh is not None and getattr(x_mesh, "size", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bands_dev = jax.device_put(bands_dev, NamedSharding(x_mesh, P()))
     AX = _spmv_bands_cols(bands_dev, tuple(int(o) for o in op.offsets), X_dev)
     C_cols = jnp.concatenate([B_cols, X_dev, AX], axis=2)
     R2 = R + 2 * t

@@ -138,3 +138,39 @@ def test_solve_deflated_sharded_matches_single_device():
     rf = tk.solve_deflated(op, b, cfg, m=6, storage="full", mesh=mesh)
     trf = tk.kron_residual_dense(op, rf.x, np.asarray(b))
     assert abs(trf - tr0) < 1e-10
+
+
+def test_solve_deflated_df64_sharded_matches_single_device():
+    """storage='df64' (the certifying flagship mode) mode-sharded over an
+    8-vdev mesh — VERDICT r4 #5: the production recipe must shard. The
+    recorded recurrence, certificate, and device-final assembly +
+    cross-check all run under GSPMD; results must match the single-device
+    solve to pair-GEMM roundoff."""
+    import tensorkrylov_tpu as tk
+    from tensorkrylov_tpu.parallel import make_mesh
+
+    op = tk.laplace(2, 64, shift=30.0)
+    b = tk.random_rhs(2, 64, seed=5)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = tk.SolverConfig(kmax=16, tol=1e-10)
+    r0 = tk.solve_deflated(op, b, cfg, m=6, storage="df64", final="device")
+    mesh = make_mesh(8, factor_parallel=2)
+    r1 = tk.solve_deflated(op, b, cfg, m=6, storage="df64", final="device",
+                           mesh=mesh)
+    assert r1.status == r0.status and r1.niterations == r0.niterations
+    # certified bounds agree to reduction-order roundoff
+    np.testing.assert_allclose(np.asarray(r1.certified_bound),
+                               np.asarray(r0.certified_bound),
+                               rtol=1e-9)
+    tr0 = tk.kron_residual_dense(op, r0.x, np.asarray(b))
+    tr1 = tk.kron_residual_dense(op, r1.x, np.asarray(b))
+    assert abs(tr1 - tr0) < 1e-10, (tr0, tr1)
+    # the device cross-check ran under the mesh too
+    assert r1.measured_cp_residual is not None
+    band = 2 * max(r1.cp_residual_floor, r0.cp_residual_floor)
+    assert abs(r1.measured_cp_residual - r0.measured_cp_residual) <= band
+
+    # ring comm has no pair-SpMV variant: must be a clear error, not a hang
+    with pytest.raises(ValueError, match="gspmd"):
+        tk.solve_deflated(op, b, cfg, m=6, storage="df64", mesh=mesh,
+                          comm="ring")
