@@ -109,6 +109,9 @@ class _BlockRecState(NamedTuple):
     sweep_overlap: jax.Array   # () f64 — max pre-(2nd)-sweep overlap
     eta_w: jax.Array   # (d, Kp) f64 — Σ|applied coefficients| per column
     #                    (the η model's ||H_col||_1, incl. both CGS passes)
+    C: jax.Array       # (d, m, Kp) f64 — recorded deflation-projection
+    #                    coefficients per relation column (m = 0 when the
+    #                    solve is undeflated; zero-size arrays are free)
 
 
 def _sweep_pair(Vh, Vl, z, kc, nch_max, d, pdt):
@@ -165,6 +168,47 @@ def _sweep_pair(Vh, Vl, z, kc, nch_max, d, pdt):
     return ex.triple_sub_f64(z, corr), w_applied, overlap
 
 
+def _project_pair_recorded(Uh, Ul, z, pdt):
+    """Deflation projection of the expansion vector z (triple, (d, n))
+    against the shared pair basis U (n, m), with the applied coefficients
+    returned EXACTLY (f64 sums of the applied f32 splits) — the block twin
+    of deflate._df64_advance's recorded do_proj. Chunked over U columns."""
+    from .ops import expansion as ex
+
+    n, m_ = Uh.shape
+    d = z[0].shape[0]
+    z32 = jnp.zeros((), jnp.int32)
+    Cm = min(m_, 256)
+    while m_ % Cm:
+        Cm //= 2
+    nchm = m_ // Cm
+
+    def pbody(ci, carry):
+        z, cbuf = carry
+        c0 = jnp.asarray(ci * Cm, jnp.int32)
+        Uhc = lax.dynamic_slice(Uh, (z32, c0), (n, Cm))
+        Ulc = lax.dynamic_slice(Ul, (z32, c0), (n, Cm))
+        zf = ex.triple_to_f64(z)
+        zh = zf.astype(jnp.float32)
+        zl = (zf - zh.astype(pdt)).astype(jnp.float32)
+        w = (jnp.einsum("nm,dn->dm", Uhc, zh, preferred_element_type=pdt)
+             + jnp.einsum("nm,dn->dm", Uhc, zl, preferred_element_type=pdt)
+             + jnp.einsum("nm,dn->dm", Ulc, zh, preferred_element_type=pdt))
+        wh = w.astype(jnp.float32)
+        wl = (w - wh.astype(pdt)).astype(jnp.float32)
+        corr = (jnp.einsum("nm,dm->dn", Uhc, wh, preferred_element_type=pdt)
+                + jnp.einsum("nm,dm->dn", Uhc, wl, preferred_element_type=pdt)
+                + jnp.einsum("nm,dm->dn", Ulc, wh, preferred_element_type=pdt))
+        z = ex.triple_sub_f64(z, corr)
+        w_applied = wh.astype(pdt) + wl.astype(pdt)
+        cbuf = lax.dynamic_update_slice(cbuf, w_applied, (z32, c0))
+        return z, cbuf
+
+    z, cbuf = lax.fori_loop(0, nchm, pbody,
+                            (z, jnp.zeros((d, m_), pdt)))
+    return z, cbuf
+
+
 def _commit_column(st: _BlockRecState, z, col, rel_col, w_applied, d, pdt):
     """Normalize, round to the stored pair, record the exact commit
     deviation and the H column (coefficients + norm at row `col`)."""
@@ -201,14 +245,16 @@ def _commit_column(st: _BlockRecState, z, col, rel_col, w_applied, d, pdt):
 
 @functools.partial(
     jax.jit, donate_argnums=(3,),
-    static_argnames=("offsets", "S", "R"),
+    static_argnames=("offsets", "S", "R", "deflated"),
 )
 def _block_rec_advance(bands_h, bands_l, offsets, state: _BlockRecState,
-                       k0, S: int, R: int):
+                       k0, Uh, Ul, S: int, R: int, deflated: bool = False):
     """Run S recording block steps k0..k0+S-1 in ONE device call (the
     host-driven segment loop — VERDICT r4 #3: replaces the plain block
     path's monolithic while_loop whose XLA compile was a measured 14-min
-    blocker at the config-4 shape on this tunnel)."""
+    blocker at the config-4 shape on this tunnel). With deflated=True the
+    U-projection runs (and is recorded) on every new column — the
+    deflation+block composition VERDICT r4 #9 named missing."""
     from .ops import expansion as ex
 
     d = bands_h.shape[0]
@@ -222,16 +268,21 @@ def _block_rec_advance(bands_h, bands_l, offsets, state: _BlockRecState,
         for r in range(R):          # static unroll: R is small
             src = (k - 1) * R + r
             col = k * R + r
+            rel_col = (k - 1) * R + r
             z32 = jnp.zeros((), jnp.int32)
             vh = lax.dynamic_slice(st.Vh, (src * d, z32), (d, n))
             vl = lax.dynamic_slice(st.Vl, (src * d, z32), (d, n))
             z = ex.triple_spmv_pairs(bands_h, bands_l, offsets, vh, vl)
+            if deflated:
+                z, cvec = _project_pair_recorded(Uh, Ul, z, pdt)
+                st = st._replace(C=lax.dynamic_update_slice(
+                    st.C, cvec[:, :, None], (z32, z32, rel_col)))
             z, w1, _ = _sweep_pair(st.Vh, st.Vl, z, col, nch_max, d, pdt)
             z, w2, ov = _sweep_pair(st.Vh, st.Vl, z, col, nch_max, d, pdt)
             st = st._replace(
                 sweep_overlap=jnp.maximum(st.sweep_overlap, ov))
             st, _, _ = _commit_column(
-                st, z, col, (k - 1) * R + r, w1 + w2, d, pdt)
+                st, z, col, rel_col, w1 + w2, d, pdt)
         return st
 
     return lax.fori_loop(0, S, body, state)
@@ -277,16 +328,23 @@ def _block_rec_init(B, state: _BlockRecState, R: int):
 
 def _evaluate_block_recorded(H, btil, dev, eta_hat, dev0, kc, R, b_norm,
                              lam_min, omega, alpha, t_mask, eps_elem,
-                             lam_gersh_f, gram_dev, frechet: bool = True):
+                             lam_gersh_f, gram_dev, frechet: bool = True,
+                             lam=None, C_rec=None, c_u=None):
     """Host evaluation of the recorded block solve at kc active columns.
 
     Mirrors deflate._evaluate_host_recorded with:
       tridiagonal T + recorded sweep matrix W  →  sym(H) + asym defect E
       rank-1 β₀e₀ RHS                          →  recorded R-column QR btil
       scalar β boundary                        →  R×R boundary block
-    Returns (rel_estimate, Y (d, kc, t·R), weights (t·R,), components)."""
+    With deflation (lam (d, m), C_rec (d, m, kc), c_u (d, m, R)): the
+    recorded per-factor operator is [[Λ, C], [0, sym(H) + E]] — Λ applied
+    exactly (diagonal), C and E via first-order Frechet with the
+    second-order remainder charged (rho = max_s ||[C_s; E_s]||_F).
+    Returns (rel_estimate, Yu (d, m, t·R), Yv (d, kc, t·R), weights,
+    components)."""
     ld = np.longdouble
     d = H.shape[0]
+    m = 0 if lam is None else lam.shape[1]
     act = np.flatnonzero(t_mask > 0)
     t = act.size
     gam = alpha[act] / lam_min                                  # (t,)
@@ -300,21 +358,32 @@ def _evaluate_block_recorded(H, btil, dev, eta_hat, dev0, kc, R, b_norm,
 
     Y = np.zeros((d, kc, t * R))
     Z = np.zeros((d, kc, t * R))
+    Yu = np.zeros((d, m, t * R))
+    Zu = np.zeros((d, m, t * R))
     rho = 0.0
     for s in range(d):
         S_s = 0.5 * (Ha[s] + Ha[s].T)
         E_s = Ha[s] - S_s
-        rho = max(rho, float(np.linalg.norm(E_s)))
+        Cs = np.zeros((0, kc)) if m == 0 else np.asarray(C_rec[s], np.float64)
+        rho = max(rho, float(np.sqrt((E_s ** 2).sum() + (Cs ** 2).sum())))
         T_w, Q = np.linalg.eigh(S_s)
         ex = np.exp(-np.clip(T_w[:, None] * gam[None, :], -700.0, 700.0))
         Et = Q.T @ E_s @ Q
+        Ct = Cs @ Q if m else None                              # (m, kc)
+        ex_u = (np.exp(-np.clip(lam[s][:, None] * gam[None, :], -700., 700.))
+                if m else None)
         scale_T = np.abs(T_w).max() + 1.0
         dT = T_w[:, None] - T_w[None, :]
         deg = np.abs(dT) < 1e-8 * scale_T
+        if m:
+            dU = lam[s][:, None] - T_w[None, :]
+            degU = np.abs(dU) < 1e-8 * scale_T
         for r in range(R):
             g = Q.T @ bt[s, :, r]                               # (kc,)
             Y0 = Q @ (ex * g[:, None])                          # (kc, t)
             dY = np.zeros((kc, t))
+            dYu = np.zeros((m, t))
+            Yu0 = ex_u * c_u[s][:, r][:, None] if m else None   # (m, t)
             if frechet:
                 # GEMM-separated divided differences (see
                 # deflate._evaluate_host_recorded for the derivation)
@@ -326,17 +395,35 @@ def _evaluate_block_recorded(H, btil, dev, eta_hat, dev0, kc, R, b_norm,
                     dY_c[i] += Gw[i, l] * (-gam * np.sqrt(ex[i] * ex[l])
                                            * (1.0 + h * h / 6.0))
                 dY = Q @ dY_c
+                if m:
+                    Gu = Ct * g[None, :]
+                    MU = np.where(degU, 0.0, Gu) / np.where(degU, 1.0, dU)
+                    dYu = ex_u * MU.sum(axis=1)[:, None] - MU @ ex
+                    for i, l in zip(*np.nonzero(degU)):
+                        h = 0.5 * gam * (lam[s][i] - T_w[l])
+                        dYu[i] += Gu[i, l] * (-gam * np.sqrt(ex_u[i] * ex[l])
+                                              * (1.0 + h * h / 6.0))
             Y[s, :, r * t: (r + 1) * t] = Y0 + dY
+            if m:
+                Yu[s, :, r * t: (r + 1) * t] = Yu0 + dYu
         Z[s] = Ha[s] @ Y[s]
+        if m:
+            Zu[s] = lam[s][:, None] * Yu[s] + Cs @ Y[s]
 
     w_full = np.tile(w_t, R)                                    # (t·R,)
     wl = np.asarray(w_full, ld)
-    Gy = np.einsum("dpi,dpj->dij", Y, Y).astype(ld)
-    Gz = np.einsum("dpi,dpj->dij", Z, Z).astype(ld)
-    Xg = np.einsum("dpi,dpj->dij", Y, Z).astype(ld)
-    yb = np.einsum("dpi,dpr->dir", Y, bt).astype(ld)            # (d, tR, R)
-    zb = np.einsum("dpi,dpr->dir", Z, bt).astype(ld)
-    Gb = np.einsum("dpr,dpq->drq", bt, bt).astype(ld)
+    # joint factors: [U-block rows | Krylov rows] — the Gram algebra runs
+    # over the concatenation exactly as deflate._evaluate_host_recorded
+    Yj = np.concatenate([Yu, Y], axis=1)
+    Zj = np.concatenate([Zu, Z], axis=1)
+    btj = np.concatenate(
+        [np.zeros((d, m, R)) if c_u is None else c_u, bt], axis=1)
+    Gy = np.einsum("dpi,dpj->dij", Yj, Yj).astype(ld)
+    Gz = np.einsum("dpi,dpj->dij", Zj, Zj).astype(ld)
+    Xg = np.einsum("dpi,dpj->dij", Yj, Zj).astype(ld)
+    yb = np.einsum("dpi,dpr->dir", Yj, btj).astype(ld)          # (d, tR, R)
+    zb = np.einsum("dpi,dpr->dir", Zj, btj).astype(ld)
+    Gb = np.einsum("dpr,dpq->drq", btj, btj).astype(ld)
     b2 = float(np.sum(np.prod(Gb, axis=0)))
 
     hy2 = ld(0.0)
@@ -419,7 +506,7 @@ def _evaluate_block_recorded(H, btil, dev, eta_hat, dev0, kc, R, b_norm,
         "gram_dev": float(gram_dev),
         "eps_elem": float(eps_elem),
     }
-    return rel, Y, w_full, components
+    return rel, Yu, Y, w_full, components
 
 
 def solve_block_recorded(
@@ -432,6 +519,8 @@ def solve_block_recorded(
     segment: int = 8,
     certify: bool = True,
     final: str = "auto",
+    m: int = 0,
+    basis=None,
     verbose: bool = False,
 ) -> BlockRecordedResult:
     """Certifying block Krylov solve for a rank-R RHS b = Σ_r ⊗_s B[r, s]
@@ -449,6 +538,15 @@ def solve_block_recorded(
     'device' assembles x = V·Y on device and runs the rank-R basis-free
     cross-check there (required through this machine's 1.6 MB/s tunnel).
     'auto' → 'device' on TPU else 'host'.
+
+    m / basis: per-factor spectral deflation composed with the block
+    recurrence (VERDICT r4 #9 — previously "not implemented"): the rank-R
+    RHS is host-projected into the U-complement (recorded coefficients
+    c_u), every new block column is U-projected with RECORDED coefficients
+    (C), and the projected solve inverts the recorded [[Λ, C], [0, H]]
+    factor — the κ_eff reduction that makes deep rank-1 flagships feasible
+    now applies to rank-R RHS. Requires a shared deflation basis
+    (identical factors), like storage='df64'.
     """
     config = config or SolverConfig()
     B = jnp.asarray(B)
@@ -466,7 +564,39 @@ def solve_block_recorded(
     if final not in ("host", "device"):
         raise ValueError(f"final must be 'auto'|'host'|'device', got {final!r}")
 
-    kmax = min(config.kmax, max(n // R - 1, 1))                 # block its
+    # deflation setup (host): project B into the U-complement with exact
+    # host-f64 recorded coefficients c_u; the recurrence then keeps every
+    # column out of span(U) via the recorded per-column projection
+    Uh = Ul = None
+    lam_np = c_u_np = None
+    if basis is not None:
+        m = basis.m
+    elif m > 0:
+        from .deflate import deflation_basis
+
+        basis = deflation_basis(op, m)
+        m = basis.m
+    B_np = np.asarray(B, np.float64)
+    B_work = B_np
+    if m > 0:
+        U_np = np.asarray(basis.U, np.float64)
+        if U_np.shape[0] != 1:
+            raise ValueError("solve_block_recorded deflation requires a "
+                             "shared basis (identical factors), like "
+                             "storage='df64'")
+        lam_np = np.asarray(basis.lam, np.float64)
+        c_u_np = np.einsum("nm,rdn->dmr", U_np[0], B_np)        # (d, m, R)
+        B_work = B_np - np.einsum(
+            "nm,dmr->rdn", U_np[0], c_u_np)
+        Uh_np = U_np[0].astype(np.float32)
+        Uh = jnp.asarray(Uh_np)
+        Ul = jnp.asarray((U_np[0] - Uh_np.astype(np.float64))
+                         .astype(np.float32))
+        del U_np, Uh_np
+        if lam_min is None:
+            lam_min = float(lam_np[:, 0].sum())   # exact joint λ_min
+
+    kmax = min(config.kmax, max((n - m) // R - 1, 1))           # block its
     Kb = (kmax + 1) * R
     C_ = _DF64_SWEEP_COLS
     Kp = -(-Kb // C_) * C_
@@ -474,7 +604,6 @@ def solve_block_recorded(
     lam_gersh_f = _gershgorin_per_factor(op)
     lam_max = float(lam_gersh_f.sum())
 
-    B_np = np.asarray(B, np.float64)
     Gb0 = np.einsum("rdn,qdn->drq", B_np, B_np)
     b_norm = float(np.sqrt(max(np.sum(np.prod(Gb0, axis=0)), 0.0)))
 
@@ -513,8 +642,9 @@ def solve_block_recorded(
         Vl=jnp.zeros((Kp * d, n), jnp.float32),
         sweep_overlap=jnp.zeros((), pdt),
         eta_w=jnp.zeros((d, Kp), pdt),
+        C=jnp.zeros((d, m, Kp), pdt),
     )
-    state = _block_rec_init(jnp.asarray(B_np), state, R)
+    state = _block_rec_init(jnp.asarray(B_work), state, R)
 
     rel_hist: List[float] = []
     bound_hist: List[float] = []
@@ -531,7 +661,8 @@ def solve_block_recorded(
             S_eff = min(segment, ck + 1 - k_prev)
             state = _block_rec_advance(
                 bands_h, bands_l, op.offsets, state,
-                jnp.asarray(k_prev, jnp.int32), S=S_eff, R=R)
+                jnp.asarray(k_prev, jnp.int32), Uh, Ul,
+                S=S_eff, R=R, deflated=m > 0)
             k_prev += S_eff
         kc = ck * R
         H_np = np.zeros((d, Kp, Kp), np.float64)
@@ -561,29 +692,37 @@ def solve_block_recorded(
         coeffs, sup_err, kappa = _coeffs_for(lam_min_eff)
 
         proxy = float(state.sweep_overlap)
+        C_np = None
+        if m > 0:
+            C_np = np.asarray(state.C[:, :, :kc])               # (d, m, kc)
         # per-column η model: elementwise expansion rounding through the
         # spmv + sweeps + commit (measured eps_elem; pair-GEMM coefficient
-        # application ~1e-15 relative to the applied mass eta_w)
+        # application ~1e-15 relative to the applied mass eta_w, plus the
+        # recorded-projection mass when deflated)
         eta_hat = (8.0 * eps_elem * lam_gersh_f[:, None]
                    * np.ones((1, Kp))
                    + 1e-15 * eta_w_np)                         # (d, Kp)
+        if m > 0:
+            eta_hat[:, :kc] += 1e-15 * np.abs(C_np).sum(axis=1)
 
         def _eval(gram_dev, frechet):
-            rel, Y, w_full, cert = _evaluate_block_recorded(
+            rel, Yu, Y, w_full, cert = _evaluate_block_recorded(
                 H_np, btil_np, dev_np, eta_hat,
                 dev0_np, kc, R, b_norm, lam_min_eff,
                 np.asarray(coeffs.omega), np.asarray(coeffs.alpha),
                 np.asarray(coeffs.t_mask), eps_elem, lam_gersh_f,
-                gram_dev, frechet=frechet)
+                gram_dev, frechet=frechet,
+                lam=lam_np, C_rec=C_np, c_u=c_u_np)
             cert["sup"] = sup_err
             bound = (sup_err + cert["boundary"] + cert["dev_term"]
                      + cert["eta_term"] + cert["r2_term"])
-            return rel, Y, w_full, cert, bound
+            return rel, Yu, Y, w_full, cert, bound
 
-        rel, Y_np, w_np, cert, bound = _eval(proxy, frechet=True)
+        rel, Yu_np, Y_np, w_np, cert, bound = _eval(proxy, frechet=True)
         if bound < 100.0 * config.tol or ck == checkpoints[-1]:
             gram_dev = _df64_gram_deviation_host(state.Vh, state.Vl, kc, d)
-            rel, Y_np, w_np, cert, bound = _eval(gram_dev, frechet=True)
+            rel, Yu_np, Y_np, w_np, cert, bound = _eval(
+                gram_dev, frechet=True)
             cert["gram_source"] = "measured full Gram"
         else:
             cert["gram_source"] = "proxy sweep_overlap"
@@ -619,6 +758,20 @@ def solve_block_recorded(
                 acc, state.Vh, state.Vl, jnp.asarray(c0 * d, jnp.int32),
                 jnp.asarray(Yh_np[:, c0:c0 + ROWS, :]),
                 jnp.asarray(Yl_np[:, c0:c0 + ROWS, :]), rows=ROWS)
+        if m > 0:
+            from .deflate import _df64_ulift_chunk
+
+            Yuh_np = Yu_np.astype(np.float32)
+            Yul_np = (Yu_np - Yuh_np.astype(np.float64)).astype(np.float32)
+            CM_U = min(256, m)
+            c0_ = 0
+            while c0_ < m:
+                c1_ = min(c0_ + CM_U, m)
+                acc = _df64_ulift_chunk(
+                    acc, Uh[:, c0_:c1_], Ul[:, c0_:c1_],
+                    jnp.asarray(Yuh_np[:, c0_:c1_, :]),
+                    jnp.asarray(Yul_np[:, c0_:c1_, :]))
+                c0_ = c1_
         xf = acc
         x = CPTensor(jnp.asarray(w_np), xf)
         if certify:
@@ -636,6 +789,9 @@ def solve_block_recorded(
         Vfull = (np.asarray(state.Vh[: kc * d], np.float64)
                  + np.asarray(state.Vl[: kc * d], np.float64))
         xf = np.einsum("kdn,dkt->dnt", Vfull.reshape(kc, d, n), Y_np)
+        if m > 0:
+            xf = xf + np.einsum("nm,dmt->dnt",
+                                np.asarray(basis.U, np.float64)[0], Yu_np)
         x = CPTensor(jnp.asarray(w_np), jnp.asarray(xf))
         if certify:
             from .utils.cp import cp_residual_cross_check_host_rankR

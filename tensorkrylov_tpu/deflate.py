@@ -722,8 +722,17 @@ def _df64_advance(bands_h, bands_l, offsets, state: _Df64State, b_perp,
     Kp = state.W.shape[1]
     C_ = _DF64_SWEEP_COLS
     nch_max = state.Vh.shape[0] // (C_ * d)
-    Cm = min(m_, 128)
-    nchm = -(-m_ // Cm)
+    # projection chunk width: the serial fori over m/Cm tall-skinny GEMMs
+    # dominates the flagship step (~1.6 s/step at m=2048, r4); a wider
+    # chunk trades splat-temp HBM (~8·n·Cm·4 B) for fewer, better-shaped
+    # GEMMs. Env-tunable so the campaign can A/B it WITHOUT changing the
+    # default HLO (the persistent compile cache keys on HLO).
+    Cm = min(m_, int(os.environ.get("TK_DF64_PROJ_CHUNK", "128")))
+    while m_ % Cm:
+        # non-dividing chunks would clamp the dynamic_slice and project
+        # the tail columns twice — halve down to a divisor
+        Cm //= 2
+    nchm = m_ // Cm
     pdt = state.dg.dtype
     eye_d = jnp.eye(d, dtype=pdt)
 
@@ -2187,6 +2196,15 @@ def solve_deflated(
                 # (VERDICT r3 #4 — the r3 3-calls-per-step structure paid
                 # ~3.4 s/step of tunnel dispatch against ~ms of compute)
                 S_SEG = 32
+                # segment pacing (r5): the tunneled worker dies after
+                # ~7-16 min of CONTINUOUS activity (two r5 deaths surfaced
+                # at the first blocking pull with ~10 async-dispatched
+                # segments queued). Optional sync + idle gaps keep the
+                # dispatch queue shallow and give the worker breathing
+                # room; env-tunable, off by default.
+                pause_every = int(os.environ.get("TK_DF64_PAUSE_EVERY", "0"))
+                pause_s = float(os.environ.get("TK_DF64_PAUSE_S", "5"))
+                seg_i = 0
                 while k_prev <= ck:
                     S_eff = min(S_SEG, ck + 1 - k_prev)
                     state = _df64_advance(
@@ -2196,6 +2214,18 @@ def solve_deflated(
                         sweep_every=sweep_every,
                     )
                     k_prev += S_eff
+                    seg_i += 1
+                    if pause_every and seg_i % pause_every == 0:
+                        import time as _t
+
+                        t_sync0 = _t.perf_counter()
+                        jax.block_until_ready(state.beta)
+                        if verbose:
+                            print(f"  [solve_deflated] paced sync at "
+                                  f"k={k_prev - 1} "
+                                  f"({_t.perf_counter() - t_sync0:.1f}s), "
+                                  f"idling {pause_s:.0f}s", flush=True)
+                        _t.sleep(pause_s)
                 _save_state_df64(state, k_prev)
             elif storage == "segmented":
                 while k_prev <= ck:
