@@ -198,7 +198,8 @@ def _bench_solver_loop_resident(tk, jax, jnp, d=SPMV_D, n=SPMV_N):
     S1, S2 = 8, 64
     t_x = (timed(xla_jit, S2) - timed(xla_jit, S1)) / (S2 - S1)
     gnnz_x = nnz / t_x / 1e9
-    return gnnz_x, _bench_resident_lanczos_subprocess(d, n)
+    child = _bench_resident_lanczos_subprocess(d, n)
+    return gnnz_x, child
 
 
 _RESIDENT_LANCZOS_CHILD = r"""
@@ -228,7 +229,26 @@ def timed(S):
     return (time.perf_counter() - t0) / 3
 S1, S2 = 8, 64
 t_r = (timed(S2) - timed(S1)) / (S2 - S1)
-print(json.dumps({"gnnz": 3 * n * d / t_r / 1e9}))
+out = {"gnnz": 3 * n * d / t_r / 1e9}
+# INSIDE-solve() numbers (VERDICT r4 #4): full solve_host_projected runs,
+# two-point slope over kmax to cancel setup/projected-stage overheads
+cfg = lambda impl, kmax: tk.SolverConfig(
+    kmax=kmax, tol=1e-30, check_every=32, orth="lanczos",
+    basis_dtype=jnp.float32, step_impl=impl, spectral_source="H")
+opf = tk.laplace(d, n, dtype=jnp.float32, shift=1.0)
+bj = jnp.asarray(b)
+K1, K2 = 48, 128   # V at K2: (129, d, n) f32 ~4.3 GB — fits HBM with the
+#                    non-donated segment transient
+for impl in ("resident", "xla"):
+    r = tk.solve_host_projected(opf, bj, cfg(impl, K1))   # warm both kmax
+    assert str(r.config.step_impl) == impl, r.config.step_impl
+    tk.solve_host_projected(opf, bj, cfg(impl, K2))
+    t0 = time.perf_counter(); tk.solve_host_projected(opf, bj, cfg(impl, K1))
+    t1 = time.perf_counter(); tk.solve_host_projected(opf, bj, cfg(impl, K2))
+    t2 = time.perf_counter()
+    t_step = ((t2 - t1) - (t1 - t0)) / (K2 - K1)
+    out["solve_%s_gnnz" % impl] = 3 * n * d / t_step / 1e9
+print(json.dumps(out))
 """
 
 
@@ -252,7 +272,7 @@ def _bench_resident_lanczos_subprocess(d, n, timeout=420):
         )
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):
-                return float(_json.loads(line)["gnnz"])
+                return _json.loads(line)
         print(f"[bench] resident-lanczos child exited rc={out.returncode} "
               "with no JSON line", file=sys.stderr)
     except subprocess.TimeoutExpired as e:
@@ -269,7 +289,7 @@ def _bench_resident_lanczos_subprocess(d, n, timeout=420):
         tail = "\n".join(str(stderr).strip().splitlines()[-8:])
         print(f"[bench] resident-lanczos child stderr tail:\n{tail}",
               file=sys.stderr)
-    return 0.0
+    return {}
 
 
 def _bench_solver_iterations(tk, jax, jnp):
@@ -307,10 +327,11 @@ def main():
     gnnz = max(gnnz_xla, gnnz_res)
     cpu_gnnz = _bench_spmv_cpu()
     iters_per_s = _bench_solver_iterations(tk, jax, jnp)
-    loop_xla, loop_res = (
+    loop_xla, child = (
         _bench_solver_loop_resident(tk, jax, jnp) if platform == "tpu"
-        else (0.0, 0.0)
+        else (0.0, {})
     )
+    loop_res = float(child.get("gnnz", 0.0))
 
     # HBM roofline models (v5e ~819 GB/s): 'stream' re-reads the 3 band
     # arrays + v and writes u every apply (5 f32 arrays of d·n);
@@ -342,6 +363,13 @@ def main():
                     # reductions + basis writes — not a bare-apply microbench)
                     "solver_loop_xla_gnnz_s": round(loop_xla, 3),
                     "solver_loop_resident_gnnz_s": round(loop_res, 3),
+                    # full solve_host_projected runs, two-point slope over
+                    # kmax: the resident kernel INSIDE solve() vs the XLA
+                    # segment path (VERDICT r4 #4)
+                    "solve_resident_gnnz_s": round(
+                        float(child.get("solve_resident_gnnz", 0.0)), 3),
+                    "solve_xla_segment_gnnz_s": round(
+                        float(child.get("solve_xla_gnnz", 0.0)), 3),
                     "spmv_config": "d=8 tridiag n=2^20 f32",
                     "roofline_819GBps": {
                         "stream_gnnz_s": round(stream, 1),

@@ -457,6 +457,14 @@ def _resolve_config(config: SolverConfig, op: KroneckerSumOperator, host_project
         # config reflects what actually ran
         impl = "fused" if _fused_eligible(config, op) else "xla"
         config = dataclasses.replace(config, step_impl=impl)
+    elif config.step_impl == "resident":
+        # resident multi-STEP segments exist only in the host-orchestrated
+        # driver (solve_host_projected) — inside the one-jit while_loop
+        # there is no S-step segment boundary for the kernel. Ineligible or
+        # wrong driver → 'xla', recorded on the resolved config.
+        ok = host_projected and _resident_eligible(config, op)
+        config = dataclasses.replace(
+            config, step_impl="resident" if ok else "xla")
     if config.kmax > op.n:
         # the factor Krylov spaces exhaust at dimension n; iterating past it
         # appends zero columns whose degenerate projected spectra poison the
@@ -536,6 +544,56 @@ def solve(
     if op.symmetric and tables is None:
         tables = load_tables(dtype=config.proj_dtype)
     return _solve_jit(op, b, tables, config)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,),
+                   static_argnames=("offsets_t", "S"))
+def _resident_segment_update(bands32, state: KrylovState, b, offsets_t, k0,
+                             S: int):
+    """Steps-only segment k0..k0+S-1 through the VMEM-resident multi-step
+    Lanczos kernel (ops/pallas/resident_lanczos.py) — VERDICT r4 #4: the
+    kernel measured 769-800 Gnnz/s bare (BENCH_r03/r04) but was reachable
+    only from bench.py; this wires it into solve_host_projected's segment
+    loop as step_impl='resident'. Plain f32 Lanczos only (no reorth, no
+    deflation): an estimates-grade throughput mode — the f32 basis floors
+    TRUE residuals (BASELINE.md r3 storage study), exactly like the plain
+    XLA f32 path it replaces."""
+    from .ops.pallas.resident_lanczos import _resident_steps
+
+    K, d, n = state.V.shape
+    pdt = state.H.dtype
+    z32 = jnp.zeros((), jnp.int32)
+    vp = lax.dynamic_slice(state.V, (k0 - 1, z32, z32), (1, d, n))[0]
+    vpp_i = jnp.maximum(k0 - 2, 0)
+    vpp = lax.dynamic_slice(state.V, (vpp_i, z32, z32), (1, d, n))[0]
+    vpp = jnp.where(k0 >= 2, vpp, jnp.zeros_like(vpp))
+    V_new, al, bt, _, _, beta2 = _resident_steps(
+        bands32, vp.astype(jnp.float32), vpp.astype(jnp.float32),
+        state.beta.astype(jnp.float32), offsets_t, S)
+    V = lax.dynamic_update_slice(state.V, V_new.astype(state.V.dtype),
+                                 (k0, z32, z32))
+    idx = k0 - 1 + jnp.arange(S)
+    H = state.H.at[:, idx, idx].set(al.astype(pdt))
+    H = H.at[:, idx + 1, idx].set(bt.astype(pdt))
+    H = H.at[:, idx, idx + 1].set(bt.astype(pdt))
+    btv = jnp.einsum("Sdn,dn->dS", V_new, b.astype(V_new.dtype),
+                     preferred_element_type=pdt)
+    btil = state.btil.at[:, idx + 1].set(btv)
+    return KrylovState(V, H, btil, beta2.astype(state.beta.dtype))
+
+
+def _resident_eligible(config, op) -> bool:
+    """step_impl='resident' preconditions: plain Lanczos (the kernel has no
+    reorth/projection), f32 compute, supported shapes."""
+    from .ops.pallas.resident_lanczos import lanczos_resident_supported
+
+    return (
+        config.orth == "lanczos"
+        and op.symmetric
+        and jnp.dtype(config.basis_dtype) == jnp.float32
+        and lanczos_resident_supported(
+            dataclasses.replace(op, bands=op.bands.astype(jnp.float32)))
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -621,11 +679,19 @@ def solve_host_projected(
     niter = 0
     weights_np = np.zeros((config.tmax,))
     Y_np = np.zeros((d, K, config.tmax))
+    bands32 = (op.bands.astype(jnp.float32)
+               if config.step_impl == "resident" else None)
     while k <= config.kmax and status == Status.RUNNING:
         k_end = min(k + config.check_every - 1, config.kmax)
-        state = _steps_segment_jit(
-            op, b, config, state, jnp.asarray(k, jnp.int32), jnp.asarray(k_end, jnp.int32)
-        )
+        if config.step_impl == "resident":
+            state = _resident_segment_update(
+                bands32, state, b, op.offsets,
+                jnp.asarray(k, jnp.int32), S=k_end - k + 1)
+        else:
+            state = _steps_segment_jit(
+                op, b, config, state, jnp.asarray(k, jnp.int32),
+                jnp.asarray(k_end, jnp.int32)
+            )
         H_np = np.asarray(state.H)
         btil_np = np.asarray(state.btil)
         # v_0-drift probes for the segment: |⟨v_j, v_0⟩| = |b̃_j|/‖b_s‖

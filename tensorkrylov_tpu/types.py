@@ -238,7 +238,7 @@ class SolverConfig:
         assert self.coeff_tol_scale in ("kappa", "reference")
         assert self.bh_row_select in ("ceil", "reference")
         assert self.eigh_impl in ("auto", "dense", "tridiag_mixed", "host")
-        assert self.step_impl in ("auto", "xla", "fused")
+        assert self.step_impl in ("auto", "xla", "fused", "resident")
         assert self.nonsym_solve_impl in ("auto", "expm", "eig")
 
 

@@ -68,3 +68,43 @@ def test_resident_lanczos_support_gate():
     assert rl.lanczos_resident_supported(tk.laplace(2, 512, dtype=jnp.float32))
     assert not rl.lanczos_resident_supported(tk.laplace(2, 500, dtype=jnp.float32))
     assert not rl.lanczos_resident_supported(tk.laplace(2, 512))  # f64
+
+
+def test_solve_host_projected_resident_matches_xla(interpret_mode):
+    """step_impl='resident' inside solve_host_projected (VERDICT r4 #4: the
+    kernel must be reachable from solve, not only bench.py): same plain-f32
+    recurrence as the XLA segment path — estimates agree to f32
+    reduction-order roundoff on a well-conditioned problem."""
+    import jax.numpy as jnp
+
+    d, n = 2, 128
+    op = tk.laplace(d, n, shift=5e4, dtype=jnp.float32)
+    b = tk.random_rhs(d, n, seed=3).astype(jnp.float32)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = lambda impl: tk.SolverConfig(
+        kmax=8, tol=1e-30, check_every=4, orth="lanczos",
+        basis_dtype=jnp.float32, step_impl=impl, spectral_source="H")
+    r_res = tk.solve_host_projected(op, b, cfg("resident"))
+    assert r_res.config.step_impl == "resident", (
+        "eligible problem must actually take the resident path")
+    r_xla = tk.solve_host_projected(op, b, cfg("xla"))
+    rr = np.asarray(r_res.relative_residual)
+    rx = np.asarray(r_xla.relative_residual)
+    checked = np.isfinite(rx) & (rx > 0)
+    # estimates below ~1e-5 sit at the f32 recurrence's own noise floor
+    # (reduction-order divergence); compare above it, band the rest
+    np.testing.assert_allclose(rr[checked], rx[checked], rtol=2e-3,
+                               atol=1e-5)
+
+
+def test_resident_ineligible_falls_back_recorded():
+    import jax.numpy as jnp
+
+    d, n = 2, 100                       # n % 128 != 0 -> unsupported
+    op = tk.laplace(d, n, shift=100.0, dtype=jnp.float32)
+    b = tk.random_rhs(d, n, seed=3).astype(jnp.float32)
+    r = tk.solve_host_projected(
+        op, b, tk.SolverConfig(kmax=4, tol=1e-30, check_every=2,
+                               orth="lanczos", basis_dtype=jnp.float32,
+                               step_impl="resident", spectral_source="H"))
+    assert r.config.step_impl == "xla"  # resolved fallback is recorded
