@@ -8,17 +8,17 @@ OUT=/root/repo/tensorkrylov_tpu/experiments/data/northstar_d10_n131072_tpu.json
 LOG=/root/repo/benchmarks/logs/flagship_r5.log
 export PYTHONPATH=/root/repo:/root/.axon_site
 export TK_DF64_PROJ_CHUNK=512
-export TK_DF64_PAUSE_EVERY=2
+export TK_DF64_PAUSE_EVERY=0
 export TK_DF64_PAUSE_S=15
 cd /root/repo
 for i in $(seq 1 20); do
-  echo "=== v2 attempt $i $(date -u +%H:%M:%S) proj_chunk=$TK_DF64_PROJ_CHUNK ===" >> "$LOG"
+  echo "=== v3 attempt $i $(date -u +%H:%M:%S) proj_chunk=$TK_DF64_PROJ_CHUNK ===" >> "$LOG"
   timeout 2400 python -m tensorkrylov_tpu.experiments.northstar \
-    --storage df64 --state-cache auto --no-state-save --final device \
-    --m 2048 --kmax 512 --checkpoints 384 448 512 \
+    --storage df64 --state-cache auto --final device \
+    --m 2048 --kmax 512 --checkpoints 384 448 512 --save-every 64 \
     --out "$OUT" >> "$LOG" 2>&1
   rc=$?
-  echo "=== v2 attempt $i exit rc=$rc $(date -u +%H:%M:%S) ===" >> "$LOG"
+  echo "=== v3 attempt $i exit rc=$rc $(date -u +%H:%M:%S) ===" >> "$LOG"
   if [ -f "$OUT" ] && python - "$OUT" <<'PY' >> "$LOG" 2>&1
 import json, sys
 a = json.load(open(sys.argv[1]))

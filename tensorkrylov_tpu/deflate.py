@@ -1643,6 +1643,7 @@ def solve_deflated(
     sweep_every: int = 1,
     final: str = "auto",
     save_state: bool = True,
+    save_every: int = 0,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -2144,17 +2145,58 @@ def solve_deflated(
         )
         os.replace(tmp, state_cache)
 
+    def _pull_rows_chunked(arr, r0: int, r1: int, max_bytes: int = 1 << 26):
+        """Device→host pull of rows [r0, r1) in bounded slices: the r5
+        probe measured single pulls at ~20-27 MB/s for <=64 MB pieces but
+        collapse (1.6 MB/s) on a 256 MB buffer — chunking keeps each
+        transfer in the fast regime and bounds what a worker death can
+        lose mid-save."""
+        n_cols = arr.shape[1]
+        step = max(1, max_bytes // (n_cols * arr.dtype.itemsize))
+        parts = []
+        r = r0
+        while r < r1:
+            r2 = min(r + step, r1)
+            parts.append(np.asarray(arr[r:r2]))
+            r = r2
+        return (np.concatenate(parts, axis=0) if parts
+                else np.zeros((0, n_cols), arr.dtype))
+
     def _save_state_df64(st: _Df64State, k_prev: int):
         """Persist the full df64 recording state at a checkpoint boundary.
-        Only the ACTIVE basis-prefix rows (< k_prev·d, k-major) are written —
-        f32 transfers, no X64-split tax; the small f64 arrays are exact.
-        Atomic replace, same as the twopass cache."""
+        Only the ACTIVE basis-prefix rows (< k_prev·d, k-major) are written
+        — f32 transfers, no X64-split tax; the small f64 arrays are exact.
+        INCREMENTAL (r5): stored basis rows are immutable once written, so
+        rows already in the existing cache file are reused from disk and
+        only rows [cached_k·d, k_prev·d) are pulled — a flagship save
+        fetches ~10 MB/step instead of the whole prefix. Atomic replace."""
         if state_cache is None or not save_state:
             return
         import time as _time
 
         t0 = _time.perf_counter()
         rows_act = k_prev * op.d
+        prev_rows = 0
+        prev_Vh = prev_Vl = None
+        if os.path.exists(state_cache):
+            try:
+                z = np.load(state_cache)
+                if (str(z.get("storage", "")) == "df64"
+                        and "fingerprint" in z.files
+                        and str(z["fingerprint"]) == problem_fp
+                        and int(z["k_prev"]) <= k_prev):
+                    prev_Vh = np.asarray(z["Vh_act"])
+                    prev_Vl = np.asarray(z["Vl_act"])
+                    prev_rows = min(prev_Vh.shape[0], rows_act)
+            except Exception:   # unreadable/corrupt cache → full save
+                prev_rows = 0
+        new_h = _pull_rows_chunked(st.Vh, prev_rows, rows_act)
+        new_l = _pull_rows_chunked(st.Vl, prev_rows, rows_act)
+        Vh_act = (np.concatenate([prev_Vh[:prev_rows], new_h])
+                  if prev_rows else new_h)
+        Vl_act = (np.concatenate([prev_Vl[:prev_rows], new_l])
+                  if prev_rows else new_l)
+        del prev_Vh, prev_Vl
         tmp = state_cache + ".tmp.npz"
         np.savez(
             tmp,
@@ -2169,14 +2211,14 @@ def solve_deflated(
             vq_h=np.asarray(st.vq_h), vq_l=np.asarray(st.vq_l),
             leak=np.asarray(st.leak),
             sweep_overlap=np.asarray(st.sweep_overlap),
-            Vh_act=np.asarray(st.Vh[:rows_act]),
-            Vl_act=np.asarray(st.Vl[:rows_act]),
+            Vh_act=Vh_act, Vl_act=Vl_act,
             W=np.asarray(st.W), C=np.asarray(st.C), dev=np.asarray(st.dev),
             fingerprint=np.asarray(problem_fp),
         )
         os.replace(tmp, state_cache)
         if verbose:
             print(f"  [solve_deflated] df64 state saved (k={k_prev - 1}, "
+                  f"incremental rows {rows_act - prev_rows}, "
                   f"{_time.perf_counter() - t0:.1f}s)", flush=True)
 
     segs: List[jax.Array] = []
@@ -2215,6 +2257,14 @@ def solve_deflated(
                     )
                     k_prev += S_eff
                     seg_i += 1
+                    if (save_every and state_cache is not None and save_state
+                            and (k_prev - 1) % save_every == 0
+                            and k_prev <= ck):
+                        # intra-checkpoint incremental save: bounds what a
+                        # worker death can cost to one save_every leg (the
+                        # r5 flagship recipe: legs sized under the ~7-11
+                        # min death window); doubles as a dispatch sync
+                        _save_state_df64(state, k_prev)
                     if pause_every and seg_i % pause_every == 0:
                         import time as _t
 

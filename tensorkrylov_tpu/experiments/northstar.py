@@ -95,6 +95,9 @@ def main():
                         "pulls only the small residual Gram (~2.6 MB) "
                         "instead of the ~4 GB basis — required through "
                         "this machine's 1.6 MB/s tunnel")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="df64: incremental state save every N steps "
+                        "(bounds a worker death's cost to one leg)")
     p.add_argument("--no-state-save", action="store_true",
                    help="use --state-cache for RESUME only (df64 saves "
                         "pull the basis prefix; at 1.6 MB/s a flagship "
@@ -174,6 +177,7 @@ def main():
                             sweep_every=args.sweep_every,
                             final=args.final,
                             save_state=not args.no_state_save,
+                            save_every=args.save_every,
                             verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
