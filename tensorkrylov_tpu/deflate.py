@@ -58,6 +58,30 @@ from .ops.eigen import masked_eigh, masked_eigh_tridiag_mixed
 from .ops.expsum import cp_solve_sym
 from .ops.gram import residual_norm_sq
 from .ops.orth import bdot, deflation_project
+from .df64_core import (  # split out (VERDICT r4 #8); same contracts
+    _DF64_SWEEP_COLS,
+    _Df64State,
+    _df64_advance,
+    _df64_assemble_chunk,
+    _df64_gram_deviation_host,
+    _df64_gram_row_chunk,
+    _df64_ulift_chunk,
+    _eft_eps,
+    _evaluate_host_recorded,
+    _split32,
+)
+from .deflate_light import (
+    _LightState,
+    _advance_light,
+    _advance_light_store,
+    _boundary_reorth,
+    _pass2_accumulate,
+    _pass2_host,
+    _project_and_renorm,
+    _project_with_leak,
+    _sweep_block,
+    Pass2Audit,
+)
 from .types import CPTensor, KroneckerSumOperator, SolverConfig, Status
 from .utils.cp import cp_residual_cross_check
 
@@ -279,21 +303,6 @@ def _gershgorin_max(op: KroneckerSumOperator) -> float:
     return float(_gershgorin_per_factor(op).sum())
 
 
-_EFT_EPS_CACHE: dict = {}
-
-
-def _eft_eps() -> float:
-    """Measured composed-EFT elementwise epsilon of the CURRENT backend
-    (ops/expansion.eft_selfcheck), x4 safety, floored at the algorithmic
-    2^-71. Cached per backend per process; recorded on results."""
-    be = jax.default_backend()
-    if be not in _EFT_EPS_CACHE:
-        from .ops.expansion import eft_selfcheck
-
-        chk = eft_selfcheck()
-        _EFT_EPS_CACHE[be] = max(float(chk["composed_acc_rel"]), 2.0 ** -71) * 4.0
-    return _EFT_EPS_CACHE[be]
-
 
 class _DeflState(NamedTuple):
     """Deflated-Lanczos state in the (d, K, n) layout.
@@ -434,743 +443,6 @@ def _advance(op, state: _DeflState, b_perp, U, k0, k1, *, reorth,
         return _DeflState(V, dg, od, btil, v_new, st.vp, beta_new)
 
     return lax.fori_loop(k0, k1, body, state)
-
-
-class _LightState(NamedTuple):
-    """Basis-free deflated-Lanczos state (storage='twopass'): the recurrence
-    carries only the two live vectors — no (d, K, n) basis exists on device,
-    which sidesteps the TPU AOT planner's multiplied accounting of big f64
-    loop carries entirely and removes every memory ceiling on kmax.
-    Auto-reorth is unavailable (no prefix to sweep); the measured v₀-drift
-    probe (btil) quantifies the orthogonality slack instead."""
-
-    dg: jax.Array    # (d, K)
-    od: jax.Array    # (d, K)
-    btil: jax.Array  # (d, K)
-    vp: jax.Array    # (d, n)
-    vpp: jax.Array   # (d, n)
-    beta: jax.Array  # (d,)
-    leak: jax.Array  # () max measured pre-projection U-leak max|Uᵀu|/‖u‖
-
-
-def _project_with_leak(u, U, pdt):
-    """deflation_project + the free leak telemetry max_s ‖U_sᵀ u_s‖∞/‖u_s‖.
-    Chunked over U columns like ops.orth.deflation_project (bounds the TPU
-    f64-emulation splat temp); the leak is the max |coefficient| over all
-    chunks, relative to the pre-projection norm."""
-    from .ops.orth import _proj_col_chunk
-
-    Ua = U.astype(pdt)
-    n, m = Ua.shape[1], Ua.shape[2]
-    C = _proj_col_chunk(Ua.shape[0] * n, m)
-    un = jnp.sqrt(bdot(u, u, pdt))
-    wmax = jnp.zeros((u.shape[0],), pdt)
-    for c0 in range(0, m, C):
-        if Ua.shape[0] == 1:
-            Uc = Ua[0, :, c0:c0 + C]
-            w = jnp.einsum("nm,dn->dm", Uc, u, preferred_element_type=pdt)
-            u = u - jnp.einsum("nm,dm->dn", Uc, w, preferred_element_type=pdt)
-        else:
-            Uc = Ua[:, :, c0:c0 + C]
-            w = jnp.einsum("snm,sn->sm", Uc, u, preferred_element_type=pdt)
-            u = u - jnp.einsum("snm,sm->sn", Uc, w, preferred_element_type=pdt)
-        wmax = jnp.maximum(wmax, jnp.max(jnp.abs(w), axis=1))
-    leak = jnp.max(wmax / (un + 1e-300))
-    return u, leak
-
-
-@functools.partial(
-    jax.jit, donate_argnums=(1,), static_argnames=("project_every",)
-)
-def _advance_light(op, state: _LightState, b_perp, U, k0, k1,
-                   project_every: int = 1):
-    """project_every > 1 runs the (dominant, O(n·m)) U-projection GEMM only
-    on steps k ≡ 0 (mod project_every). Mathematically the recurrence on
-    P A P with start P b stays in the U-complement; the per-step projection
-    is pure drift control. Between projections the leaked component of a
-    deflated eigenvector λ_j < λ_{m+1} is amplified per step by at most
-    ~(1 + 2√(λ_{m+1}/λ_max)) (the out-of-interval growth rate of the Lanczos
-    polynomial), so for the flagship spectrum a stride of 16–64 keeps the
-    leak at the eps·10¹-level while cutting the step cost by ~stride. The
-    measured pre-projection leak (max|Uᵀu|/‖u‖) is carried in the state —
-    evidence, not assumption."""
-    from .ops.banded import spmv
-
-    pdt = state.vp.dtype
-
-    def body(k, st: _LightState) -> _LightState:
-        u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
-        alpha = bdot(u, st.vp, pdt)
-        u = u - alpha[:, None] * st.vp
-        if project_every > 1:
-            u, leak = lax.cond(
-                k % project_every == 0,
-                lambda u: _project_with_leak(u, U, pdt),
-                lambda u: (u, jnp.zeros((), pdt)),
-                u,
-            )
-        else:
-            u, leak = _project_with_leak(u, U, pdt)
-        leak = jnp.maximum(st.leak, leak)
-        beta_sq = bdot(u, u, pdt)
-        ub = bdot(u, b_perp, pdt)
-        beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
-        lucky = beta_new < 256.0 * jnp.finfo(pdt).eps * (jnp.abs(alpha) + st.beta + 1e-300)
-        beta_new = jnp.where(lucky, 0.0, beta_new)
-        safe = jnp.where(beta_new > 0, beta_new, 1.0)
-        v_new = jnp.where(lucky[:, None], 0.0, u / safe[:, None])
-        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
-        dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
-        od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
-        btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
-        return _LightState(dg, od, btil, v_new, st.vp, beta_new, leak)
-
-    return lax.fori_loop(k0, k1, body, state)
-
-
-@functools.partial(
-    jax.jit, donate_argnums=(1,), static_argnames=("project_every", "S")
-)
-def _advance_light_store(op, state: _LightState, b_perp, U, k0,
-                         project_every: int = 1, S: int = 32):
-    """_advance_light for steps k0..k0+S-1 that ALSO returns the S new basis
-    columns as one (S·d, n) block — the building block of
-    storage='segmented'. On this machine's emulated-f64 TPU a jit call
-    X64-splits every f64 argument into two f32 copies at entry (measured:
-    +100% of the argument bytes), so a monolithic (K·d, n) basis can never
-    cross a jit boundary at flagship size; per-segment blocks keep every
-    call's split peak at ~2·(U + segment) while the basis accumulates
-    off-boundary as a host-held list of device arrays."""
-    from .ops.banded import spmv
-
-    pdt = state.vp.dtype
-    d, n = state.vp.shape
-
-    def body(i, carry):
-        st, Vseg = carry
-        k = k0 + i
-        u = spmv(op, st.vp) - st.beta[:, None] * st.vpp
-        alpha = bdot(u, st.vp, pdt)
-        u = u - alpha[:, None] * st.vp
-        if project_every > 1:
-            u, leak = lax.cond(
-                k % project_every == 0,
-                lambda u: _project_with_leak(u, U, pdt),
-                lambda u: (u, jnp.zeros((), pdt)),
-                u,
-            )
-        else:
-            u, leak = _project_with_leak(u, U, pdt)
-        leak = jnp.maximum(st.leak, leak)
-        beta_sq = bdot(u, u, pdt)
-        ub = bdot(u, b_perp, pdt)
-        beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
-        lucky = beta_new < 256.0 * jnp.finfo(pdt).eps * (jnp.abs(alpha) + st.beta + 1e-300)
-        beta_new = jnp.where(lucky, 0.0, beta_new)
-        safe = jnp.where(beta_new > 0, beta_new, 1.0)
-        v_new = jnp.where(lucky[:, None], 0.0, u / safe[:, None])
-        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
-        dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (zero, k - 1))
-        od = lax.dynamic_update_slice(st.od, beta_new[:, None], (zero, k))
-        btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (zero, k))
-        Vseg = lax.dynamic_update_slice(Vseg, v_new, (i * d, zero))
-        return (_LightState(dg, od, btil, v_new, st.vp, beta_new, leak), Vseg)
-
-    Vseg0 = jnp.zeros((S * d, n), pdt)
-    (state, Vseg) = lax.fori_loop(
-        jnp.asarray(0, jnp.int32), jnp.asarray(S, jnp.int32), body,
-        (state, Vseg0),
-    )
-    return state, Vseg
-
-
-@functools.partial(jax.jit, static_argnames=("exclude_last",))
-def _sweep_block(Vseg, W, exclude_last: int = 0):
-    """One CGS block of the boundary reorthogonalization: coefficients of
-    the working vectors W (r, d, n) against a stored segment Vseg (S·d, n),
-    and the corrected W. Bounded f64 args → bounded X64-split peak.
-    exclude_last masks the trailing columns of the segment out of the sweep
-    (the working vectors ARE the last two stored columns — sweeping them
-    against themselves would annihilate the recurrence)."""
-    pdt = W.dtype
-    r, d, n = W.shape
-    Vk = Vseg.reshape(-1, d, n)
-    S = Vk.shape[0]
-    w = jnp.einsum("kdn,rdn->rkd", Vk, W, preferred_element_type=pdt)
-    if exclude_last:
-        mask = (jnp.arange(S) < S - exclude_last).astype(pdt)
-        w = w * mask[None, :, None]
-    W = W - jnp.einsum("kdn,rkd->rdn", Vk, w, preferred_element_type=pdt)
-    return W, jnp.max(jnp.abs(w))
-
-
-@jax.jit
-def _project_and_renorm(W, U):
-    """Boundary reorth epilogue: re-project both working vectors into the
-    U-complement and renormalize (correction sizes ≤ drift; the induced β
-    perturbation is second-order — Parlett–Scott practice)."""
-    pdt = W.dtype
-    W = jnp.stack(
-        [deflation_project(W[0], U, pdt), deflation_project(W[1], U, pdt)]
-    )
-    r_, d_, n_ = W.shape
-    nrm = jnp.sqrt(bdot(W.reshape(r_ * d_, n_), W.reshape(r_ * d_, n_),
-                        pdt).reshape(r_, d_))
-    return W / jnp.where(nrm > 0, nrm, 1.0)[:, :, None]
-
-
-def _boundary_reorth(segs, state: _LightState, U):
-    """Full reorthogonalization of (v_k, v_{k-1}) against every stored
-    column, segment by segment (each call's f64 X64-split peak stays at
-    ~2·segment). Returns the corrected state and the measured maximum
-    pre-correction overlap — the drift evidence at this boundary. At the
-    measured ~85 TFLOPS effective f64 einsum rate the full sweep at
-    k = 1024 costs ~1 ms: per-segment-boundary FULL reorth is effectively
-    free, which is why the segmented mode needs no on-demand trigger."""
-    W = jnp.stack([state.vp, state.vpp])
-    drift = 0.0
-    for i, seg in enumerate(segs):
-        W, wmax = _sweep_block(
-            seg, W, exclude_last=2 if i == len(segs) - 1 else 0
-        )
-        drift = max(drift, float(wmax))
-    W = _project_and_renorm(W, U)
-    return state._replace(vp=W[0], vpp=W[1]), drift
-
-
-# columns per chunk of the df64 sweeps: even f32-operand einsums with
-# preferred_element_type=f64 splat the big operand into 8 f32 components on
-# this backend (measured: a full-K sweep wanted 56 GB); chunked fori bodies
-# bound the splat to ~8·C·d·n·4 bytes
-_DF64_SWEEP_COLS = 16
-
-
-def _split32(x):
-    """f64 → (hi, lo) f32 pair: hi = fl32(x), lo = fl32(x − hi). Represents
-    x to ~48 bits (rel. 7e-15) in a form that is FREE to cross jit
-    boundaries on this backend (f32 arrays are not X64-split)."""
-    hi = x.astype(jnp.float32)
-    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
-    return hi, lo
-
-
-class _Df64State(NamedTuple):
-    """storage='df64' v2 state — the noise-RECORDING expansion Lanczos.
-
-    Design (r4, closing VERDICT r3 #1/#4): the r3 flagship's 9.8e-6 true-
-    residual gap was the emulated-f64 recurrence noise that the per-step
-    full reorthogonalization REMOVED from the vectors but the projected
-    tridiagonal never saw. v2 makes the bookkeeping exact instead of
-    fighting the noise:
-
-      * the recurrence runs in f32-EXPANSION arithmetic (ops/expansion.py:
-        triples inside the step, measured elementwise error ~2.6e-16 on
-        this TPU vs 1.4e-14 emulated-f64), with the basis CARRIED as the
-        stored 48-bit pair — so "stored column" and "recurrence operand"
-        are the same exact value and storage rounding never enters the
-        relation;
-      * every sweep coefficient (W), deflation-projection coefficient (C)
-        and commit deviation (dev_k = ‖z − β_k v_k^stored‖) is RECORDED.
-        The exact relation per step is then
-          A v_{k-1} = V w + U c + α v_{k-1} + β_{k-1} v_{k-2}
-                      + β_k v_k + dev_vec − η,
-        with η only the expansion arithmetic's elementwise rounding. The
-        projected solve inverts the PERTURBED per-factor matrices
-        (T + W is still a Kronecker-sum factor!) so W and C leave the
-        error budget entirely; dev and η enter the certificate as a
-        measured/modeled term (see _evaluate_host_recorded).
-
-    All big buffers are f32 (no X64-split jit-boundary tax); the f64
-    arrays are k-sized."""
-
-    dg: jax.Array      # (d, K) f64
-    od: jax.Array      # (d, K) f64
-    btil: jax.Array    # (d, K) f64 — drift telemetry (RHS uses β₀ e₀)
-    vp_h: jax.Array    # (d, n) f32  v_{k-1} (stored-pair carry)
-    vp_l: jax.Array    # (d, n) f32
-    vq_h: jax.Array    # (d, n) f32  v_{k-2}
-    vq_l: jax.Array    # (d, n) f32
-    beta: jax.Array    # (d,) f64
-    leak: jax.Array    # () f64 max pre-projection |Uᵀz|/‖z‖
-    sweep_overlap: jax.Array  # () f64 max pre-sweep |⟨z, v_j⟩|/‖z‖
-    Vh: jax.Array      # (Kp*d, n) f32 basis pair, k-major rows
-    Vl: jax.Array      # (Kp*d, n) f32
-    W: jax.Array       # (d, Kp, Kp) f32 — W[s, j, k-1] = sweep coeff of
-    #                    column j recorded at step k (relation column k-1)
-    C: jax.Array       # (d, m, Kp) f32 — projection coeffs at step k
-    dev: jax.Array     # (d, K) f64 — ‖z − β_k v_k^stored‖₂ per step
-
-
-@functools.partial(
-    jax.jit, donate_argnums=(3,),
-    static_argnames=("offsets", "S", "project_every", "sweep_every"),
-)
-def _df64_advance(bands_h, bands_l, offsets, state: _Df64State, b_perp,
-                  Uh, Ul, k0, S: int = 32, project_every: int = 1,
-                  sweep_every: int = 1):
-    """Run S full-reorth recording steps k0..k0+S-1 in ONE device call.
-
-    Replaces the r3 three-calls-per-step structure (pre/sweep/commit) whose
-    per-call tunnel dispatch dominated the flagship wall-clock (VERDICT r3
-    #4: 44 min for 768 steps ≈ 3.4 s/step against ~ms of compute). The
-    sweep/projection chunking lives inside fori_loops, so the largest f64
-    splat temp stays bounded exactly as before."""
-    from .ops import expansion as ex
-
-    d, n = state.vp_h.shape
-    m_ = Uh.shape[1]
-    Kp = state.W.shape[1]
-    C_ = _DF64_SWEEP_COLS
-    nch_max = state.Vh.shape[0] // (C_ * d)
-    # projection chunk width: the serial fori over m/Cm tall-skinny GEMMs
-    # dominates the flagship step (~1.6 s/step at m=2048, r4); a wider
-    # chunk trades splat-temp HBM (~8·n·Cm·4 B) for fewer, better-shaped
-    # GEMMs. Env-tunable so the campaign can A/B it WITHOUT changing the
-    # default HLO (the persistent compile cache keys on HLO).
-    Cm = min(m_, int(os.environ.get("TK_DF64_PROJ_CHUNK", "128")))
-    while m_ % Cm:
-        # non-dividing chunks would clamp the dynamic_slice and project
-        # the tail columns twice — halve down to a divisor
-        Cm //= 2
-    nchm = m_ // Cm
-    pdt = state.dg.dtype
-    eye_d = jnp.eye(d, dtype=pdt)
-
-    def body(i, st: _Df64State) -> _Df64State:
-        k = k0 + jnp.asarray(i, jnp.int32)
-        z32 = jnp.zeros((), jnp.int32)
-        # ---- expansion recurrence core (elementwise; triple headroom) ----
-        z = ex.triple_spmv_pairs(bands_h, bands_l, offsets, st.vp_h, st.vp_l)
-        z = ex.triple_sub(
-            z, ex.pair_scale_f64(st.vq_h, st.vq_l, st.beta[:, None]))
-        zf = ex.triple_to_f64(z)
-        vpf = st.vp_h.astype(pdt) + st.vp_l.astype(pdt)
-        alpha = bdot(zf, vpf, pdt)
-        z = ex.triple_sub(
-            z, ex.pair_scale_f64(st.vp_h, st.vp_l, alpha[:, None]))
-
-        # ---- deflation projection (recorded coefficients) ----
-        def do_proj(z):
-            zf = ex.triple_to_f64(z)
-            un = jnp.sqrt(bdot(zf, zf, pdt))
-            cbuf = jnp.zeros((d, m_), pdt)
-            wmax = jnp.zeros((d,), pdt)
-
-            def pbody(ci, carry):
-                z, cbuf, wmax = carry
-                c0 = ci * Cm
-                Uhc = lax.dynamic_slice(Uh, (0, c0), (n, Cm))
-                Ulc = lax.dynamic_slice(Ul, (0, c0), (n, Cm))
-                zf = ex.triple_to_f64(z)
-                zh, zl = _split32(zf)
-                w = (jnp.einsum("nm,dn->dm", Uhc, zh, preferred_element_type=pdt)
-                     + jnp.einsum("nm,dn->dm", Uhc, zl, preferred_element_type=pdt)
-                     + jnp.einsum("nm,dn->dm", Ulc, zh, preferred_element_type=pdt))
-                wh, wl = _split32(w)
-                corr = (jnp.einsum("nm,dm->dn", Uhc, wh, preferred_element_type=pdt)
-                        + jnp.einsum("nm,dm->dn", Uhc, wl, preferred_element_type=pdt)
-                        + jnp.einsum("nm,dm->dn", Ulc, wh, preferred_element_type=pdt))
-                z = ex.triple_sub_f64(z, corr)
-                cbuf = lax.dynamic_update_slice(
-                    cbuf, w, (z32, jnp.asarray(ci * Cm, jnp.int32)))
-                return (z, cbuf, jnp.maximum(wmax, jnp.max(jnp.abs(w), axis=1)))
-
-            z, cbuf, wmax = lax.fori_loop(0, nchm, pbody, (z, cbuf, wmax))
-            return z, cbuf, jnp.max(wmax / (un + 1e-300))
-
-        if project_every > 1:
-            z, cvec, leak = lax.cond(
-                k % project_every == 0, do_proj,
-                lambda z: (z, jnp.zeros((d, m_), pdt), jnp.zeros((), pdt)), z)
-        else:
-            z, cvec, leak = do_proj(z)
-
-        # ---- CGS sweep vs stored columns < k (recorded; optionally
-        # strided — the recording keeps the relation exact either way, so
-        # striding trades measured Gram slack for the dominant f64-GEMM
-        # splat traffic at large k; see solve_deflated's sweep_every) ----
-        def do_sweep(z):
-            zf = ex.triple_to_f64(z)
-            un = jnp.sqrt(bdot(zf, zf, pdt))
-            zh0, zl0 = _split32(zf)
-            nch = jnp.minimum(
-                jnp.asarray((k + C_ - 1) // C_, jnp.int32), nch_max)
-
-            def wbody(ci, w):
-                ci = jnp.asarray(ci, jnp.int32)
-                r0 = ci * (C_ * d)
-                Vhc = lax.dynamic_slice(st.Vh, (r0, z32), (C_ * d, n))
-                Vlc = lax.dynamic_slice(st.Vl, (r0, z32), (C_ * d, n))
-                full = (jnp.einsum("Kn,dn->Kd", Vhc, zh0, preferred_element_type=pdt)
-                        + jnp.einsum("Kn,dn->Kd", Vhc, zl0, preferred_element_type=pdt)
-                        + jnp.einsum("Kn,dn->Kd", Vlc, zh0, preferred_element_type=pdt))
-                wc = jnp.einsum("kid,id->ki", full.reshape(C_, d, d), eye_d)
-                return lax.dynamic_update_slice(w, wc, (ci * C_, z32))
-
-            w = lax.fori_loop(0, nch, wbody,
-                              jnp.zeros((nch_max * C_, d), pdt))
-            w = w * (jnp.arange(nch_max * C_)[:, None] < k).astype(pdt)
-            overlap = jnp.max(jnp.max(jnp.abs(w), axis=0) / (un + 1e-300))
-            wh, wl = _split32(w)
-
-            def cbody(ci, corr):
-                ci = jnp.asarray(ci, jnp.int32)
-                r0 = ci * (C_ * d)
-                Vhc = lax.dynamic_slice(st.Vh, (r0, z32), (C_ * d, n))
-                Vlc = lax.dynamic_slice(st.Vl, (r0, z32), (C_ * d, n))
-                whc = lax.dynamic_slice(wh, (ci * C_, z32), (C_, d))
-                wlc = lax.dynamic_slice(wl, (ci * C_, z32), (C_, d))
-                Wh_full = (whc[:, :, None] * eye_d).reshape(C_ * d, d).astype(jnp.float32)
-                Wl_full = (wlc[:, :, None] * eye_d).reshape(C_ * d, d).astype(jnp.float32)
-                return corr + (
-                    jnp.einsum("Kn,Kd->dn", Vhc, Wh_full, preferred_element_type=pdt)
-                    + jnp.einsum("Kn,Kd->dn", Vhc, Wl_full, preferred_element_type=pdt)
-                    + jnp.einsum("Kn,Kd->dn", Vlc, Wh_full, preferred_element_type=pdt))
-
-            corr = lax.fori_loop(0, nch, cbody, jnp.zeros((d, n), pdt))
-            return ex.triple_sub_f64(z, corr), w, overlap
-
-        if sweep_every > 1:
-            z, w, overlap = lax.cond(
-                k % sweep_every == 0, do_sweep,
-                lambda z: (z, jnp.zeros((nch_max * C_, d), pdt),
-                           jnp.zeros((), pdt)), z)
-        else:
-            z, w, overlap = do_sweep(z)
-
-        # ---- β, breakdown guard, commit (recorded deviation) ----
-        zf = ex.triple_to_f64(z)
-        beta_sq = bdot(zf, zf, pdt)
-        ub = bdot(zf, b_perp, pdt)
-        beta_new = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
-        lucky = beta_new < 256.0 * jnp.finfo(pdt).eps * (
-            jnp.abs(alpha) + st.beta + 1e-300)
-        beta_new = jnp.where(lucky, 0.0, beta_new)
-        safe = jnp.where(beta_new > 0, beta_new, 1.0)
-        v_new = ex.triple_scale_f64(z, (1.0 / safe)[:, None])
-        (vh2, vl2), _ = ex.triple_round_pair(v_new)
-        vh2 = jnp.where(lucky[:, None], jnp.float32(0), vh2)
-        vl2 = jnp.where(lucky[:, None], jnp.float32(0), vl2)
-        # exact commit deviation: z − β·(stored pair), in expansion arith
-        devv = ex.triple_sub(
-            z, ex.pair_scale_f64(vh2, vl2, beta_new[:, None]))
-        devf = ex.triple_to_f64(devv)
-        dev_k = jnp.sqrt(bdot(devf, devf, pdt))
-
-        Vh = lax.dynamic_update_slice(st.Vh, vh2, (k * d, z32))
-        Vl = lax.dynamic_update_slice(st.Vl, vl2, (k * d, z32))
-        dg = lax.dynamic_update_slice(st.dg, alpha[:, None], (z32, k - 1))
-        od = lax.dynamic_update_slice(st.od, beta_new[:, None], (z32, k))
-        btil = lax.dynamic_update_slice(st.btil, (ub / safe)[:, None], (z32, k))
-        dev = lax.dynamic_update_slice(st.dev, dev_k[:, None], (z32, k))
-        W = lax.dynamic_update_slice(
-            st.W, w[:Kp].T[:, :, None].astype(jnp.float32), (z32, z32, k - 1))
-        Cb = lax.dynamic_update_slice(
-            st.C, cvec[:, :, None].astype(jnp.float32), (z32, z32, k - 1))
-        return _Df64State(dg, od, btil, vh2, vl2, st.vp_h, st.vp_l, beta_new,
-                          jnp.maximum(st.leak, leak),
-                          jnp.maximum(st.sweep_overlap, overlap),
-                          Vh, Vl, W, Cb, dev)
-
-    return lax.fori_loop(0, S, body, state)
-
-
-@functools.partial(jax.jit, static_argnames=("d", "rows"))
-def _df64_gram_row_chunk(Vh, Vl, r0, k, d: int, rows: int = _DF64_SWEEP_COLS):
-    """max |(VᵀV − I)[rows r0..r0+C·d)| against ALL columns — one bounded
-    device call (~seconds at flagship shape). The monolithic double-fori
-    version was a multi-minute single call that reliably killed this
-    machine's tunneled TPU worker (measured twice at the flagship first
-    checkpoint); the host-chunked outer loop keeps every call inside the
-    tunnel's patience, mirroring the pass-2 segmenting rationale."""
-    pdt = jnp.float64
-    C_ = rows
-    total_rows = Vh.shape[0]
-    n = Vh.shape[1]
-    nch = total_rows // (_DF64_SWEEP_COLS * d)
-    z32 = jnp.zeros((), jnp.int32)
-    r0 = jnp.minimum(r0, jnp.asarray(total_rows - C_ * d, jnp.int32))
-    Ah = lax.dynamic_slice(Vh, (r0, z32), (C_ * d, n))
-    Al = lax.dynamic_slice(Vl, (r0, z32), (C_ * d, n))
-
-    Cb = _DF64_SWEEP_COLS
-    def inner(cj, acc):
-        r1 = jnp.asarray(cj * (Cb * d), jnp.int32)
-        Bh = lax.dynamic_slice(Vh, (r1, z32), (Cb * d, n))
-        Bl = lax.dynamic_slice(Vl, (r1, z32), (Cb * d, n))
-        G = (jnp.einsum("an,bn->ab", Ah, Bh, preferred_element_type=pdt)
-             + jnp.einsum("an,bn->ab", Ah, Bl, preferred_element_type=pdt)
-             + jnp.einsum("an,bn->ab", Al, Bh, preferred_element_type=pdt)
-             + jnp.einsum("an,bn->ab", Al, Bl, preferred_element_type=pdt))
-        ia = r0 + jnp.arange(C_ * d)
-        jb = r1 + jnp.arange(Cb * d)
-        same_s = (ia[:, None] % d) == (jb[None, :] % d)
-        active = ((ia[:, None] // d) < k) & ((jb[None, :] // d) < k) & same_s
-        dev = jnp.abs(G - (ia[:, None] == jb[None, :]).astype(pdt))
-        return jnp.maximum(acc, jnp.max(jnp.where(active, dev, 0.0)))
-
-    return lax.fori_loop(0, nch, inner, jnp.zeros((), pdt))
-
-
-def _df64_gram_deviation_host(Vh, Vl, k: int, d: int) -> float:
-    """Full-basis max|VᵀV − I| via tunnel-safe row-chunk calls (host loop).
-    Row width 2x the sweep chunk: halves the call count (each call reads
-    the full active basis) while staying well inside the worker's patience."""
-    C_ = min(2 * _DF64_SWEEP_COLS, Vh.shape[0] // d)
-    nch = -(-Vh.shape[0] // (C_ * d))
-    dev = 0.0
-    kk = jnp.asarray(k, jnp.int32)
-    done = 0
-    try:
-        for ci in range(nch):
-            if ci * C_ >= k:
-                break
-            v = _df64_gram_row_chunk(
-                Vh, Vl, jnp.asarray(ci * C_ * d, jnp.int32), kk, d, rows=C_)
-            jax.block_until_ready(v)
-            dev = max(dev, float(v))
-            done = ci + 1
-    except jax.errors.JaxRuntimeError as e:
-        # a worker fault mid-measurement must not lose the SOLVE: return
-        # the partial maximum (still genuine evidence over `done` chunks)
-        print(f"[gram] worker fault after {done}/{nch} row chunks "
-              f"({type(e).__name__}) — partial measurement kept", flush=True)
-    return dev
-
-
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("rows",))
-def _df64_assemble_chunk(acc, Vh, Vl, r0, Ych, Ycl, rows: int):
-    """acc (d, n, t) f64 += Σ_k V_pair[k, s, :]·Yv_pair[s, k, t] over one
-    row chunk of the stored basis. All big operands enter as f32 (no
-    X64-split tax); the 3-product pair GEMM accumulates in f64 (~7.5e-15,
-    BASELINE.md r3). Part of the final='device' assembly that replaces the
-    host basis pull (~4 GB ≈ 45 min at this tunnel's 1.6 MB/s)."""
-    d, n, t = acc.shape
-    f64 = jnp.float64
-    z32 = jnp.zeros((), jnp.int32)
-    Vhc = lax.dynamic_slice(Vh, (r0, z32), (rows * d, n)).reshape(rows, d, n)
-    Vlc = lax.dynamic_slice(Vl, (r0, z32), (rows * d, n)).reshape(rows, d, n)
-    acc = acc + (
-        jnp.einsum("kdn,dkt->dnt", Vhc, Ych, preferred_element_type=f64)
-        + jnp.einsum("kdn,dkt->dnt", Vhc, Ycl, preferred_element_type=f64)
-        + jnp.einsum("kdn,dkt->dnt", Vlc, Ych, preferred_element_type=f64))
-    return acc
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _df64_ulift_chunk(acc, Uhc, Ulc, Yuh, Yul):
-    """acc (d, n, t) f64 += U_pair[:, chunk]·Yu_pair[d, chunk, t] (shared
-    deflation basis; same 3-product pair form as _df64_assemble_chunk)."""
-    f64 = jnp.float64
-    acc = acc + (
-        jnp.einsum("nm,dmt->dnt", Uhc, Yuh, preferred_element_type=f64)
-        + jnp.einsum("nm,dmt->dnt", Uhc, Yul, preferred_element_type=f64)
-        + jnp.einsum("nm,dmt->dnt", Ulc, Yuh, preferred_element_type=f64))
-    return acc
-
-
-class Pass2Audit(NamedTuple):
-    """Replay-time orthonormality evidence (VERDICT r2 weak #1/#5):
-
-    gram_max — max |⟨v_k, p⟩| over every replayed basis vector against a
-      bank of `n_probes` vectors sampled uniformly across the replay (a
-      sampled pairwise Gram, strictly stronger than the v₀-drift probe:
-      it sees loss against RECENT vectors, where Lanczos drift starts).
-    beta_rel_dev — max_s,k |‖u_k‖ − od_k| / od_k: the replayed normalizer
-      against the recorded one. Bounds the pass-1/pass-2 rounding
-      divergence that the 'identical op sequence ⇒ identical rounding'
-      assumption hides; a value ≫ eps·k means the certificate's replay
-      premise failed at this shape."""
-
-    gram_max: jax.Array
-    beta_rel_dev: jax.Array
-
-
-@functools.partial(
-    jax.jit, donate_argnums=(6,),
-    static_argnames=("n_probes", "project_every", "stride"),
-)
-def _pass2_segment(op, b_perp, U, od, Yv, k0_k1, carry, n_probes: int = 0,
-                   project_every: int = 1, stride: int = 1):
-    """One jitted chunk of the pass-2 replay: steps k0..k1-1 over the carried
-    (X, vp, vpp, beta, audit) state. Chunking matters operationally on this
-    machine: a single monolithic fori_loop over the full flagship replay is
-    a multi-minute device call, and the tunneled TPU worker reliably dies on
-    those (r3 attempts 1–4 all crashed in/after pass-2) — the host-synced
-    segments mirror pass 1's checkpoint structure. Arithmetic per step is
-    identical to the monolithic version (same body, same k values)."""
-    from .ops.banded import spmv
-
-    pdt = b_perp.dtype
-    d, n = b_perp.shape
-    t = Yv.shape[2]
-    np_ = max(int(n_probes), 0)
-    k0, k1 = k0_k1
-
-    def body(k, carry):
-        X, vp, vpp, beta, (probes, filled, gmax, bdev) = carry
-        u = spmv(op, vp) - beta[:, None] * vpp
-        alpha = bdot(u, vp, pdt)
-        u = u - alpha[:, None] * vp
-        # replay the EXACT pass-1 projection schedule (same k ⇒ same branch
-        # ⇒ identical op sequence ⇒ identical rounding)
-        if project_every > 1:
-            u = lax.cond(
-                k % project_every == 0,
-                lambda u: deflation_project(u, U, pdt),
-                lambda u: u,
-                u,
-            )
-        else:
-            u = deflation_project(u, U, pdt)
-        zero = jnp.zeros((), k.dtype) if hasattr(k, "dtype") else 0
-        beta_new = lax.dynamic_slice(od, (zero, k), (d, 1))[:, 0]
-        safe = jnp.where(beta_new > 0, beta_new, 1.0)
-        v_new = jnp.where(beta_new[:, None] > 0, u / safe[:, None], 0.0)
-        yk = lax.dynamic_slice(Yv, (zero, k, zero), (d, 1, t))[:, 0, :]
-        X = X + v_new[:, :, None] * yk[:, None, :]
-        if np_:
-            beta_replay = jnp.sqrt(jnp.maximum(
-                bdot(u, u, pdt), 0.0
-            ))
-            dev = jnp.where(
-                beta_new > 0, jnp.abs(beta_replay - beta_new) / safe, 0.0
-            )
-            bdev = jnp.maximum(bdev, jnp.max(dev))
-            g = jnp.einsum("pdn,dn->pd", probes, v_new,
-                           preferred_element_type=pdt)
-            live = (jnp.arange(probes.shape[0]) < filled)[:, None]
-            gmax = jnp.maximum(gmax, jnp.max(jnp.abs(g) * live))
-            # fill the next slot every `stride` steps (AFTER the dot, so a
-            # vector is never audited against itself)
-            take = (k % stride == 0) & (filled < np_)
-            slot = jnp.minimum(filled, np_ - 1)
-            upd = lax.dynamic_update_slice(
-                probes, v_new[None], (slot, zero, zero))
-            probes = jnp.where(take, upd, probes)
-            filled = filled + take.astype(jnp.int32)
-        return (X, v_new, vp, beta_new, (probes, filled, gmax, bdev))
-
-    return lax.fori_loop(k0, k1, body, carry)
-
-
-def _pass2_accumulate(op, b_perp, U, od, Yv, k_done, n_probes: int = 0,
-                      project_every: int = 1, segment: int = 256):
-    """Second pass (host-chunked): rerun the recurrence (deterministic — the
-    same jitted ops in the same order as pass 1) and accumulate the
-    solution's V-part on the fly: X[s,:,j] = Σ_k v_k[s]·Yv[s,k,j]. α is
-    recomputed by the same dot pass 1 used; β (the normalizer) is replayed
-    from the recorded od — the one value where divergence would compound.
-
-    n_probes > 0 additionally runs the orthonormality/replay audit
-    (`Pass2Audit`): probe slots are filled every ceil(K/n_probes) steps and
-    every subsequent v_k is dotted against all filled probes.
-
-    Design lineage: twopass.py's basis-free storage (beyond the reference),
-    specialized to the deflated recurrence."""
-    pdt = b_perp.dtype
-    d, n = b_perp.shape
-    K = od.shape[1]
-    b_norms = jnp.linalg.norm(b_perp, axis=1)
-    v0 = b_perp / jnp.where(b_norms > 0, b_norms, 1.0)[:, None]
-    t = Yv.shape[2]
-    X0 = jnp.zeros((d, n, t), pdt)
-    Yv0 = Yv[:, 0, :]                                       # (d, t)
-    X0 = X0 + v0[:, :, None] * Yv0[:, None, :]
-
-    np_ = max(int(n_probes), 0)
-    stride = max(1, -(-K // np_)) if np_ else 1             # ceil(K / n_probes)
-    probes0 = jnp.zeros((max(np_, 1), d, n), pdt)
-    carry = (X0, v0, jnp.zeros_like(v0), jnp.zeros((d,), pdt),
-             (probes0, jnp.zeros((), jnp.int32),
-              jnp.zeros((), pdt), jnp.zeros((), pdt)))
-
-    k_done_i = int(k_done)
-    k0 = 1
-    while k0 <= k_done_i:
-        k1 = min(k0 + segment, k_done_i + 1)
-        carry = _pass2_segment(
-            op, b_perp, U, od, Yv,
-            (jnp.asarray(k0, jnp.int32), jnp.asarray(k1, jnp.int32)),
-            carry, n_probes=np_, project_every=project_every, stride=stride,
-        )
-        jax.block_until_ready(carry[3])                      # host sync point
-        k0 = k1
-    X, _, _, _, (probes, filled, gmax, bdev) = carry
-    return X, Pass2Audit(gmax, bdev)
-
-
-def _pass2_host(bands, offsets, b_perp, U, od, Yv, k_done: int,
-                project_every: int = 1, n_probes: int = 16,
-                verbose: bool = False):
-    """Numpy twin of the pass-2 replay (device not touched at all).
-
-    The crash-proof endgame for this machine's flaky tunneled TPU worker:
-    pass 1 records the tridiagonal in ~minutes of well-behaved segmented
-    device work, and everything after — replay, solution accumulation,
-    audit, certificate — can run on host f64 (LAPACK-grade, arguably tighter
-    than the device's emulated f64). ~0.3 s/step at flagship size
-    (project_every=1; the U-GEMV dominates), /stride with strided
-    projection. Audit semantics identical to _pass2_segment."""
-    b_perp = np.asarray(b_perp, np.float64)
-    bands = np.asarray(bands, np.float64)
-    U = np.asarray(U, np.float64)
-    od = np.asarray(od, np.float64)
-    Yv = np.asarray(Yv, np.float64)
-    d, n = b_perp.shape
-    K = od.shape[1]
-    t = Yv.shape[2]
-    bn = np.linalg.norm(b_perp, axis=1)
-    v0 = b_perp / np.where(bn > 0, bn, 1.0)[:, None]
-    X = v0[:, :, None] * Yv[:, 0, :][:, None, :]
-    vp, vpp = v0, np.zeros_like(v0)
-    beta = np.zeros(d)
-    U0 = U[0] if U.shape[0] == 1 else None
-    stride = max(1, -(-K // n_probes)) if n_probes else 1
-    probes = np.zeros((0, d, n))
-    gmax = bdev = 0.0
-
-    def _spmv(v):
-        out = np.zeros_like(v)
-        for bidx, off in enumerate(offsets):
-            col = bands[:, bidx, :]
-            if off == 0:
-                out += col * v
-            elif off > 0:
-                out[:, : n - off] += col[:, : n - off] * v[:, off:]
-            else:
-                out[:, -off:] += col[:, -off:] * v[:, : n + off]
-        return out
-
-    for k in range(1, int(k_done) + 1):
-        u = _spmv(vp) - beta[:, None] * vpp
-        alpha = np.einsum("dn,dn->d", u, vp)
-        u -= alpha[:, None] * vp
-        if project_every == 1 or k % project_every == 0:
-            if U0 is not None:
-                w = u @ U0                                   # (d, m)
-                u -= w @ U0.T
-            else:
-                w = np.einsum("snm,sn->sm", U, u)
-                u -= np.einsum("snm,sm->sn", U, w)
-        beta_rec = od[:, k]
-        safe = np.where(beta_rec > 0, beta_rec, 1.0)
-        v_new = np.where(beta_rec[:, None] > 0, u / safe[:, None], 0.0)
-        X += v_new[:, :, None] * Yv[:, k, :][:, None, :]
-        if n_probes:
-            beta_replay = np.linalg.norm(u, axis=1)
-            bdev = max(bdev, float(np.max(np.where(
-                beta_rec > 0, np.abs(beta_replay - beta_rec) / safe, 0.0
-            ))))
-            if probes.shape[0]:
-                g = np.einsum("pdn,dn->pd", probes, v_new)
-                gmax = max(gmax, float(np.abs(g).max()))
-            if k % stride == 0 and probes.shape[0] < n_probes:
-                probes = np.concatenate([probes, v_new[None]], axis=0)
-        vp, vpp, beta = v_new, vp, beta_rec
-        if verbose and k % 256 == 0:
-            print(f"  [pass2-host] k={k}/{int(k_done)}", flush=True)
-    return X, Pass2Audit(np.float64(gmax), np.float64(bdev))
 
 
 def expsum_sup_error(omega, alpha, kappa: float, n_grid: int = 200_000) -> float:
@@ -1351,232 +623,6 @@ def _evaluate_host(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
     weights = np.zeros((tmax,))
     weights[act] = w_t
     return rel, brs, Yu, Yv, weights
-
-
-def _evaluate_host_recorded(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
-                            omega, alpha, t_mask, W, Cm, dev, b0_norms,
-                            dev0, eps_elem, lam_gersh_f, gram_dev,
-                            frechet: bool = True):
-    """Host evaluation for the v2 (noise-recording) df64 solve.
-
-    The projected per-factor operator is the RECORDED perturbed matrix
-
-        H~_s = [[Lambda_s, C_s], [0, T_s + W_s]]
-
-    (still a Kronecker-sum factor — the sweep/projection coefficients are
-    per-factor, so the exp-sum inverts the recorded operator at the SAME
-    CP rank; the r3 flagship's 9.8e-6 unrecorded-sweep gap does not exist
-    in this formulation). The solve applies exp(-gamma H~_s) via the exact
-    symmetric eigendecomposition of T plus a first-order Frechet
-    correction in (W, C) with an explicit second-order remainder charged
-    to the certificate (r2_term; (gamma rho)^2-scale — negligible at the
-    measured noise levels but accounted).
-
-    Returns (rel_estimate, boundary_rel_sq, Yu, Yv, weights, components)
-    where components is the certificate decomposition:
-      sup        — analytic exp-sum sup|1 - x g(x)| on [1, kappa] (passed
-                   in by the caller via components later; 0.0 here)
-      boundary   — sqrt(sum beta^2 ||y_L||^2)/||b|| (measured, positive)
-      dev_term   — the recorded commit deviations' triangle bound
-      eta_term   — expansion-arithmetic elementwise noise triangle bound
-                   (eps_elem MEASURED in-process by eft_selfcheck)
-      r2_term    — second-order Frechet remainder bound
-      rho        — max_s ||[C_s; W_s]||_F (perturbation magnitude evidence)
-    All Gram contractions run in longdouble (~1e-19 floor, DESIGN.md §6).
-
-    Behavioural reference for the residual algebra:
-    /root/reference/src/utils.jl:255-324,402-443."""
-    from scipy.linalg import eigh_tridiagonal
-
-    ld = np.longdouble
-    d, K = dg.shape
-    m = lam.shape[1]
-    tmax = omega.shape[0]
-    act = np.flatnonzero(t_mask > 0)
-    t = act.size
-    gam = alpha[act] / lam_min                                  # (t,)
-    w_t = (omega[act] / lam_min)                                # (t,)
-
-    Yv_k = np.zeros((d, k, t))
-    Zv_k = np.zeros((d, k, t))
-    Yu_k = np.zeros((d, m, t))
-    Zu_k = np.zeros((d, m, t))
-    rho = 0.0
-    for s in range(d):
-        T_w, Q = eigh_tridiagonal(dg[s, :k], od[s, 1:k])
-        Ws = np.asarray(W[s, :k, :k], np.float64)
-        Cs = np.asarray(Cm[s, :, :k], np.float64)
-        rho_s = float(np.sqrt((Ws ** 2).sum() + (Cs ** 2).sum()))
-        rho = max(rho, rho_s)
-        g = Q.T[:, 0] * b0_norms[s]                             # Qᵀ(β₀e₀)
-        Wt = Q.T @ Ws @ Q                                       # (k, k)
-        Ct = Cs @ Q                                             # (m, k)
-        ex = np.exp(-np.clip(T_w[:, None] * gam[None, :], -700.0, 700.0))
-        Yv0 = Q @ (ex * g[:, None])                             # (k, t)
-        ex_u = np.exp(-np.clip(lam[s][:, None] * gam[None, :], -700.0, 700.0))
-        Yu0 = ex_u * c[s][:, None]                              # (m, t)
-        dYv = np.zeros((k, t))
-        dYu = np.zeros((m, t))
-        # divided differences from the PRECOMPUTED exponentials (ex, ex_u):
-        # the naive per-(j, pair) exp evaluation costs m*k*t exps — minutes
-        # of host time per flagship checkpoint, during which the tunneled
-        # TPU worker sits idle (a measured crash window). The separated
-        # form needs only the (k+m)*t exps already computed; the small-gap
-        # branch falls back to the stable sinhc form per pair.
-        if frechet:
-            # GEMM-separated divided differences: with Gw = M_pert ∘ g-row,
-            #   Σ_l Gw[i,l]·(ex[i,j] − ex[l,j])/dT[i,l]
-            #     = ex[i,j]·rowsum(Gw/dT)[i] − (Gw/dT) @ ex
-            # — two dense GEMMs over ALL exp-sum terms at once instead of a
-            # k²-temp per term (the per-term loop was ~1 min of idle-tunnel
-            # host time per flagship checkpoint). Phi multiplies the TINY
-            # recorded perturbation, so the direct quotient's cancellation
-            # error (~eps/|γ·dT| relative) is harmless for all but (near-)
-            # coincident pairs, which are patched with the sinhc limit.
-            dT = T_w[:, None] - T_w[None, :]
-            dU = lam[s][:, None] - T_w[None, :]
-            scale_T = np.abs(T_w).max() + 1.0
-            Gw = Wt * g[None, :]
-            deg = np.abs(dT) < 1e-8 * scale_T             # incl. the diagonal
-            M = np.where(deg, 0.0, Gw) / np.where(deg, 1.0, dT)
-            dYv_c = ex * M.sum(axis=1)[:, None] - M @ ex  # (k, t)
-            # (near-)degenerate pairs: phi -> -γ·sqrt(ex_i·ex_l)·sinhc
-            for i, l in zip(*np.nonzero(deg)):
-                h = 0.5 * gam * (T_w[i] - T_w[l])
-                dYv_c[i] += Gw[i, l] * (-gam * np.sqrt(ex[i] * ex[l])
-                                        * (1.0 + h * h / 6.0))
-            dYv = Q @ dYv_c
-            Gu = Ct * g[None, :]
-            degU = np.abs(dU) < 1e-8 * scale_T
-            MU = np.where(degU, 0.0, Gu) / np.where(degU, 1.0, dU)
-            dYu = ex_u * MU.sum(axis=1)[:, None] - MU @ ex
-            for i, l in zip(*np.nonzero(degU)):
-                h = 0.5 * gam * (lam[s][i] - T_w[l])
-                dYu[i] += Gu[i, l] * (-gam * np.sqrt(ex_u[i] * ex[l])
-                                      * (1.0 + h * h / 6.0))
-        Yv_k[s] = Yv0 + dYv
-        Yu_k[s] = Yu0 + dYu
-        # Z = H~ Y with the FULL recorded relation
-        Tf = np.zeros((k, k))
-        idx = np.arange(k)
-        Tf[idx, idx] = dg[s, :k]
-        Tf[idx[1:], idx[1:] - 1] = od[s, 1:k]
-        Tf[idx[1:] - 1, idx[1:]] = od[s, 1:k]
-        Zv_k[s] = (Tf + Ws) @ Yv_k[s]
-        Zu_k[s] = lam[s][:, None] * Yu_k[s] + Cs @ Yv_k[s]
-
-    # ---- longdouble Gram algebra over the joint factors ----
-    Y = np.concatenate([Yu_k, Yv_k], axis=1)                    # (d, m+k, t)
-    Z = np.concatenate([Zu_k, Zv_k], axis=1)
-    bt = np.zeros((d, m + k))
-    bt[:, :m] = c
-    bt[:, m] = b0_norms                                         # β₀ e₀
-    Gy = np.einsum("dpi,dpj->dij", Y, Y).astype(ld)
-    Gz = np.einsum("dpi,dpj->dij", Z, Z).astype(ld)
-    Xg = np.einsum("dpi,dpj->dij", Y, Z).astype(ld)
-    yb = np.einsum("dpi,dp->di", Y, bt).astype(ld)
-    zb = np.einsum("dpi,dp->di", Z, bt).astype(ld)
-    b2 = np.prod(np.einsum("dp,dp->d", bt, bt).astype(ld))
-    wl = np.asarray(w_t, ld)
-
-    hy2 = ld(0.0)
-    for s in range(d):
-        for sp in range(d):
-            P = np.ones((t, t), ld)
-            for mo in range(d):
-                if mo == s and mo == sp:
-                    P *= Gz[mo]
-                elif mo == s:
-                    P *= Xg[mo].T
-                elif mo == sp:
-                    P *= Xg[mo]
-                else:
-                    P *= Gy[mo]
-            hy2 += wl @ P @ wl
-    ip = ld(0.0)
-    for s in range(d):
-        P = np.ones((t,), ld)
-        for mo in range(d):
-            P *= zb[mo] if mo == s else yb[mo]
-        ip += wl @ P
-    r_comp_sq = hy2 - 2.0 * ip + b2
-
-    yr = Yv_k[:, k - 1, :].astype(ld)
-    boundary = ld(0.0)
-    for s in range(d):
-        E = np.ones((t, t), ld)
-        for mo in range(d):
-            if mo != s:
-                E *= Gy[mo]
-        bg = np.outer(yr[s], yr[s]) * ld(beta[s]) ** 2
-        boundary += wl @ (bg * E) @ wl
-    boundary = float(boundary)
-
-    # ---- relation-error terms (dev measured; eta from measured eps) ----
-    # per-step bounds b_k on the unrecorded relation error ||e_k||:
-    #   dev[s, k]                     measured commit deviation (exact)
-    #   8*eps_elem*(lam_g + |a| + b)  expansion elementwise rounding
-    #   2^-24*(||w||_1 + ||c||_1)     f32 rounding of the RECORDED W, C
-    kk = np.arange(1, k + 1)
-    absW1 = np.abs(np.asarray(W[:, :, :k], np.float64)).sum(axis=1)  # (d, k)
-    absC1 = np.abs(np.asarray(Cm[:, :, :k], np.float64)).sum(axis=1)
-    eta_hat = (8.0 * eps_elem
-               * (lam_gersh_f[:, None] + np.abs(dg[:, :k]) + od[:, kk - 1]
-                  + od[:, kk])
-               + 2.0 ** -24 * (absW1 + absC1))                  # (d, k)
-    dev_b = dev[:, 1 : k + 1]                                   # (d, k)
-    # RHS-side representation term: b⊥_s = β₀ v₀ + dev0_s (host split,
-    # eps64-grade) — charged relative to each factor's own b⊥ norm
-    b0_term = float(np.sum(dev0 / np.maximum(b0_norms, 1e-300)))
-    # column norms of Y per mode (for the off-mode products), with the
-    # measured Gram slack of the stored basis folded in multiplicatively
-    slack = float(np.sqrt(1.0 + min(k, 1e9) * max(gram_dev, 0.0)))
-    # per-mode column norms ||y_i||_r from the joint Gram diagonals
-    ynorm = np.sqrt(np.maximum(
-        np.einsum("dii->di", np.asarray(Gy, np.float64)), 0.0))  # (d, t)
-    off_prod = np.ones((d, t))
-    for s in range(d):
-        for r in range(d):
-            if r != s:
-                off_prod[s] *= ynorm[r] * slack
-
-    def tri_term(bmat):
-        tot = 0.0
-        for s in range(d):
-            Dsi = np.abs(Yv_k[s]).T @ bmat[s]                   # (t,) via (k,t)ᵀ(k,)
-            tot += float(np.sum(np.abs(w_t) * Dsi * off_prod[s]))
-        return tot
-
-    dev_term = tri_term(dev_b) * slack / b_norm + b0_term
-    eta_term = tri_term(eta_hat) * slack / b_norm
-    # second-order Frechet remainder: per exp-sum term j and factor, the
-    # exp-perturbation series tail is <= (gam_j rho)^2/2 e^{gam_j rho}
-    # (||e^{-gam T}|| <= 1, T PSD); y-error in b~-units, residual scaled
-    # by lambda_max of the joint operator, d factors each chargeable
-    lam_max_tot = float(np.sum(lam_gersh_f))
-    gr = gam * rho
-    r2_term = float(d * lam_max_tot * np.sum(
-        w_t * 0.5 * gr * gr * np.exp(np.minimum(gr, 50.0))))
-
-    rel = float(np.sqrt(boundary + max(float(r_comp_sq), 0.0))) / b_norm
-    brs = boundary / (b_norm * b_norm)
-
-    Yv = np.zeros((d, K, tmax))
-    Yu = np.zeros((d, m, tmax))
-    Yv[:, :k, act] = Yv_k
-    Yu[:, :, act] = Yu_k
-    weights = np.zeros((tmax,))
-    weights[act] = w_t
-    components = {
-        "boundary": float(np.sqrt(max(boundary, 0.0))) / b_norm,
-        "dev_term": dev_term,
-        "eta_term": eta_term,
-        "r2_term": r2_term,
-        "rho": float(rho),
-        "gram_dev": float(gram_dev),
-        "eps_elem": float(eps_elem),
-    }
-    return rel, brs, Yu, Yv, weights, components
 
 
 def _u_lift(U, Yu):
