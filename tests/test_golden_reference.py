@@ -70,7 +70,21 @@ def test_golden_parity_laplace_d100():
     # tight parity while the reference estimator is above its noise floor
     for k in range(2, 9):
         assert abs(np.log(ours[k] / ref[k - 1])) < 0.01, (k, ours[k], ref[k - 1])
-    # loose parity through the reference's full recorded trace
+    # loose parity through the reference's full recorded trace. Why 15%:
+    # by k=9 the reference's recorded residual has fallen to ~4e-6·‖b‖
+    # where its own estimator is dominated by the compressed-residual
+    # CANCELLATION error of its f64 Gram masking — the mass cancelled is
+    # Σ|terms| ≈ ‖b‖²-scale, so the estimate carries an absolute noise of
+    # ~√(eps64·mass) ≈ 1e-8·‖b‖-scale, i.e. a RELATIVE wobble of
+    # ~1e-8/4e-6 ≈ 0.25% per Gram entry that compounds over the ~60-term
+    # rank-pair sum to the few-percent scale; our estimator differs in
+    # summation order (transfer-matrix scan vs masked double loop), so the
+    # two noise realizations diverge while both trajectories keep the same
+    # decay. 15% (in log-space) bounds the MEASURED divergence profile
+    # (0.000 at k≤5, 0.004 at k=8, peak 0.095 at k=10, back to 0.007 at
+    # k=12 — the noise-realization wobble, not a drift) with headroom; any
+    # systematic error (wrong coefficients, wrong spectral interval) would
+    # blow past it within 2-3 iterations because the trace spans 4 decades.
     for k in range(2, k_ref + 1):
         assert abs(np.log(ours[k] / ref[k - 1])) < 0.15, (k, ours[k], ref[k - 1])
     # beyond the reference's breakdown: still finite and decreasing
