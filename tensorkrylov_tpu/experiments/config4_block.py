@@ -57,6 +57,10 @@ def main():
                    help="(--recorded) assembly/cross-check location")
     p.add_argument("--segment", type=int, default=8,
                    help="(--recorded) block steps per device call")
+    p.add_argument("--m", type=int, default=0,
+                   help="(--recorded) per-factor deflation rank composed "
+                        "with the block recurrence (r5: kappa_eff "
+                        "reduction for rank-R RHS)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -114,7 +118,7 @@ def main():
         lam_min = args.d * (sigma + lmin_1d)
         rb = tk.solve_block_recorded(
             op, B, cfg, lam_min=lam_min, segment=args.segment,
-            final=args.final, verbose=True)
+            final=args.final, m=args.m, verbose=True)
         t_block = time.perf_counter() - t0
         est_b = rb.relative_residual[-1]
         mv_block = int(rb.niterations) * args.rank * args.d
@@ -135,6 +139,7 @@ def main():
             "relation_r2_term": rb.relation_r2_term,
             "perturbation_rho": rb.perturbation_rho,
             "lam_min_exact": lam_min,
+            "deflation_m": args.m,
         }
     else:
         rb = tk.solve_block(op, B, cfg)
