@@ -1223,7 +1223,8 @@ def solve_deflated(
         t0 = _time.perf_counter()
         rows_act = k_prev * op.d
         prev_rows = 0
-        prev_Vh = prev_Vl = None
+        prev_k = 0
+        prev_Vh = prev_Vl = prev_W = prev_C = None
         if os.path.exists(state_cache):
             try:
                 z = np.load(state_cache)
@@ -1234,8 +1235,14 @@ def solve_deflated(
                     prev_Vh = np.asarray(z["Vh_act"])
                     prev_Vl = np.asarray(z["Vl_act"])
                     prev_rows = min(prev_Vh.shape[0], rows_act)
+                    prev_k = int(z["k_prev"])
+                    if (z["W"].shape == tuple(st.W.shape)
+                            and z["C"].shape == tuple(st.C.shape)):
+                        prev_W = np.asarray(z["W"])
+                        prev_C = np.asarray(z["C"])
             except Exception:   # unreadable/corrupt cache → full save
                 prev_rows = 0
+                prev_W = prev_C = None
         new_h = _pull_rows_chunked(st.Vh, prev_rows, rows_act)
         new_l = _pull_rows_chunked(st.Vl, prev_rows, rows_act)
         Vh_act = (np.concatenate([prev_Vh[:prev_rows], new_h])
@@ -1243,6 +1250,15 @@ def solve_deflated(
         Vl_act = (np.concatenate([prev_Vl[:prev_rows], new_l])
                   if prev_rows else new_l)
         del prev_Vh, prev_Vl
+        # W/C columns are write-once too (column c recorded at step c+1):
+        # re-pull only [prev_k-2, k_prev) with the disk copy as the prefix
+        if prev_W is not None:
+            c0 = max(prev_k - 2, 0)
+            prev_W[:, :, c0:k_prev] = np.asarray(st.W[:, :, c0:k_prev])
+            prev_C[:, :, c0:k_prev] = np.asarray(st.C[:, :, c0:k_prev])
+            W_np, C_np = prev_W, prev_C
+        else:
+            W_np, C_np = np.asarray(st.W), np.asarray(st.C)
         tmp = state_cache + ".tmp.npz"
         np.savez(
             tmp,
@@ -1258,7 +1274,7 @@ def solve_deflated(
             leak=np.asarray(st.leak),
             sweep_overlap=np.asarray(st.sweep_overlap),
             Vh_act=Vh_act, Vl_act=Vl_act,
-            W=np.asarray(st.W), C=np.asarray(st.C), dev=np.asarray(st.dev),
+            W=W_np, C=C_np, dev=np.asarray(st.dev),
             fingerprint=np.asarray(problem_fp),
         )
         os.replace(tmp, state_cache)
