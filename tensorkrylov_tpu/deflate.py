@@ -1043,15 +1043,18 @@ def solve_deflated(
             df64_band_sh = _NS(mesh, _P(fs, None, "mode"))   # (d, nb, n)
             df64_rep_sh = _NS(mesh, _P())                    # small arrays
         if storage == "df64":
-            # everything big enters jit as f32 (pairs): no X64-split tax
+            # everything big enters jit as f32 (pairs): no X64-split tax.
+            # Shared basis → (n, m) pair; distinct factors (r5, VERDICT r4
+            # #6) → (d, n, m) pair, same recording contract per factor.
             U_pair_np = np.asarray(basis.U, np.float64)
-            if U_pair_np.shape[0] != 1:
-                raise ValueError(
-                    "storage='df64' currently requires identical factors "
-                    "(shared deflation basis)"
-                )
-            Uh_np = U_pair_np[0].astype(np.float32)
-            Ul_np = (U_pair_np[0] - Uh_np.astype(np.float64)).astype(np.float32)
+            U_pair_np = U_pair_np[0] if U_pair_np.shape[0] == 1 else U_pair_np
+            Uh_np = U_pair_np.astype(np.float32)
+            Ul_np = (U_pair_np - Uh_np.astype(np.float64)).astype(np.float32)
+            if mesh is not None and Uh_np.ndim == 3:
+                from jax.sharding import NamedSharding as _NS2, \
+                    PartitionSpec as _P2
+
+                df64_u_sh = _NS2(mesh, _P2(fs, "mode", None))
             Uh = _put(jnp.asarray(Uh_np),
                       None if mesh is None else df64_u_sh)
             Ul = _put(jnp.asarray(Ul_np),
@@ -1499,8 +1502,10 @@ def solve_deflated(
         c0_ = 0
         while c0_ < m:
             c1_ = min(c0_ + CM_U, m)
+            Uhc_ = Uh[:, c0_:c1_] if Uh.ndim == 2 else Uh[:, :, c0_:c1_]
+            Ulc_ = Ul[:, c0_:c1_] if Ul.ndim == 2 else Ul[:, :, c0_:c1_]
             acc = _df64_ulift_chunk(
-                acc, Uh[:, c0_:c1_], Ul[:, c0_:c1_],
+                acc, Uhc_, Ulc_,
                 jnp.asarray(Yuh_np[:, c0_:c1_, :]),
                 jnp.asarray(Yul_np[:, c0_:c1_, :]))
             c0_ = c1_
@@ -1540,7 +1545,10 @@ def solve_deflated(
                             Yv_m[:, kk0:kk1, :])
             r0 = r1
         U_host = np.asarray(basis.U, np.float64)
-        xf = np.einsum("nm,dmt->dnt", U_host[0], Yu_np) + xv
+        if U_host.shape[0] == 1:
+            xf = np.einsum("nm,dmt->dnt", U_host[0], Yu_np) + xv
+        else:
+            xf = np.einsum("dnm,dmt->dnt", U_host, Yu_np) + xv
         boundary_drift = float(state.sweep_overlap)
     elif storage == "segmented":
         # assembly fully ON HOST: at convergence the device holds every

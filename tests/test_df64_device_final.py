@@ -110,3 +110,42 @@ def test_fingerprint_rejects_different_problem(tmp_path):
     with pytest.raises(ValueError, match="fingerprint|DIFFERENT"):
         tk.solve_deflated(op2, b2, cfg, m=6, storage="df64",
                           checkpoints=[8, 16], state_cache=cache)
+
+
+def test_df64_distinct_factors_oracle():
+    """VERDICT r4 #6: storage='df64' with DISTINCT factor matrices (per-
+    factor deflation basis U (d, n, m)) — certified bound must dominate the
+    dense-kron true residual, and the device-final path must agree."""
+    import dataclasses
+
+    d, n = 2, 40
+    base = tk.laplace(d, n, shift=25.0)
+    bands = np.asarray(base.bands, np.float64).copy()
+    bands[1] *= 1.37            # factor 1 is a different SPD tridiagonal
+    bands[1, np.asarray(base.offsets) == 0, :] += 11.0
+    op = dataclasses.replace(base, bands=jnp.asarray(bands))
+    b = tk.random_rhs(d, n, seed=9, identical=False)
+    b = b / jnp.linalg.norm(b, axis=1, keepdims=True)
+    cfg = tk.SolverConfig(kmax=20, tol=1e-10, identical_factors=False)
+    res = tk.solve_deflated(op, b, cfg, m=5, storage="df64", final="host",
+                            certify=True)
+    from tensorkrylov_tpu.deflate import deflation_basis
+
+    assert deflation_basis(op, 5).U.shape[0] == d  # genuinely distinct
+    from tensorkrylov_tpu.utils.cp import cp_full, kron_matvec_dense
+
+    x_full = cp_full(res.x)
+    b_full = np.array([1.0])
+    for s in range(d):
+        b_full = np.kron(b_full, np.asarray(b[s], np.float64))
+    rel_true = float(np.linalg.norm(b_full - kron_matvec_dense(op, x_full)))
+    bound = res.certified_bound[-1]
+    assert rel_true <= 1.05 * bound + 1e-15, (rel_true, bound)
+    # device-final agrees
+    rd = tk.solve_deflated(op, b, cfg, m=5, storage="df64", final="device",
+                           certify=True)
+    np.testing.assert_array_equal(np.asarray(rd.certified_bound),
+                                  np.asarray(res.certified_bound))
+    xd = np.asarray(rd.x.factors, np.float64)
+    xh = np.asarray(res.x.factors, np.float64)
+    np.testing.assert_allclose(xd, xh, rtol=0, atol=1e-12 * np.abs(xh).max())
