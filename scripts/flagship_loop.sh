@@ -15,7 +15,7 @@ for i in $(seq 1 20); do
   echo "=== v3 attempt $i $(date -u +%H:%M:%S) proj_chunk=$TK_DF64_PROJ_CHUNK ===" >> "$LOG"
   timeout 2400 python -m tensorkrylov_tpu.experiments.northstar \
     --storage df64 --state-cache auto --final device \
-    --m 2048 --kmax 512 --checkpoints 384 448 512 --save-every 64 \
+    --m 2048 --kmax 512 --checkpoints 384 448 512 --save-every 32 \
     --out "$OUT" >> "$LOG" 2>&1
   rc=$?
   echo "=== v3 attempt $i exit rc=$rc $(date -u +%H:%M:%S) ===" >> "$LOG"
