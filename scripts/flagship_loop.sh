@@ -33,6 +33,6 @@ PY
   then
     echo "FLAGSHIP_DONE" >> "$LOG"; exit 0
   fi
-  sleep 45
+  sleep 240
 done
 echo "FLAGSHIP_EXHAUSTED" >> "$LOG"; exit 1
