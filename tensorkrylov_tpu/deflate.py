@@ -690,6 +690,7 @@ def solve_deflated(
     final: str = "auto",
     save_state: bool = True,
     save_every: int = 0,
+    advance_budget: Optional[int] = None,
 ) -> DeflatedResult:
     """Solve A x = b (SPD Kronecker sum, rank-1 b) with per-factor spectral
     deflation of rank m. Host-orchestrated: jitted Lanczos segments between
@@ -1289,7 +1290,10 @@ def solve_deflated(
     segs: List[jax.Array] = []
     boundary_drift = None
     cert = None
+    budget_exhausted = False
     for ck in checkpoints:
+        if budget_exhausted:
+            break
         if ck + 1 > k_prev:
             if storage == "full":
                 state = _advance(
@@ -1313,6 +1317,16 @@ def solve_deflated(
                 pause_s = float(os.environ.get("TK_DF64_PAUSE_S", "5"))
                 seg_i = 0
                 while k_prev <= ck:
+                    if (advance_budget is not None
+                            and k_prev - resumed_k_prev >= advance_budget):
+                        # voluntary-exit march (r5): the worker's death
+                        # window shrank below a full attempt's activity;
+                        # budgeted runs advance a bounded leg, save, and
+                        # EXIT CLEANLY before the window closes — the
+                        # campaign loop resumes the next leg after a
+                        # cool-down (scripts/flagship_loop.sh)
+                        budget_exhausted = True
+                        break
                     S_eff = min(S_SEG, ck + 1 - k_prev)
                     state = _df64_advance(
                         bands_h, bands_l, op.offsets, state, b_perp,
@@ -1342,6 +1356,8 @@ def solve_deflated(
                                   f"idling {pause_s:.0f}s", flush=True)
                         _t.sleep(pause_s)
                 _save_state_df64(state, k_prev)
+                if budget_exhausted:
+                    break
             elif storage == "segmented":
                 while k_prev <= ck:
                     state, Vseg = _advance_light_store(
@@ -1444,6 +1460,18 @@ def solve_deflated(
         if bound_hist[-1] < config.tol:
             status = int(Status.CONVERGED)
             break
+
+    if budget_exhausted:
+        # budgeted march: state persisted at k_prev-1; no evaluation, no
+        # assembly — the caller's campaign loop resumes the next leg
+        return DeflatedResult(
+            x=None, status=int(Status.RUNNING), niterations=k_prev - 1,
+            m=m, relative_residual=[], certified_bound=[], checkpoints=[],
+            measured_cp_residual=None, expsum_sup=sup_err,
+            expsum_rank=int(coeffs.rank), lambda_min=lam_min,
+            lambda_max=lam_max, orthogonality_drift=0.0,
+            cp_residual_floor=None,
+        )
 
     # compress to the ACTIVE exp-sum columns before assembly: the padded
     # (tmax,) buffers carry ~3× dead columns (t_mask zeros) that would

@@ -95,6 +95,12 @@ def main():
                         "pulls only the small residual Gram (~2.6 MB) "
                         "instead of the ~4 GB basis — required through "
                         "this machine's 1.6 MB/s tunnel")
+    p.add_argument("--advance-budget", type=int, default=None,
+                   help="df64: advance at most N steps past the resumed "
+                        "cache, save, and exit cleanly (the r5 campaign "
+                        "marches in budgeted legs because the tunneled "
+                        "worker's death window shrank below a full "
+                        "attempt's activity)")
     p.add_argument("--save-every", type=int, default=0,
                    help="df64: incremental state save every N steps "
                         "(bounds a worker death's cost to one leg)")
@@ -178,9 +184,14 @@ def main():
                             final=args.final,
                             save_state=not args.no_state_save,
                             save_every=args.save_every,
+                            advance_budget=args.advance_budget,
                             verbose=True)
     t_solve = time.perf_counter() - t_solve0
     wall = time.perf_counter() - t0
+    if res.x is None:
+        print(f"budgeted march: state persisted at k={res.niterations} "
+              f"({t_solve:.1f}s); no evaluation this run", flush=True)
+        return
     cross = cross_err = None
     if not args.no_certify and res.measured_cp_residual is None:
         try:
