@@ -35,7 +35,7 @@ for i in $(seq 1 40); do
     timeout 900 python -m tensorkrylov_tpu.experiments.northstar \
       --storage df64 --state-cache auto --final device \
       --m 2048 --kmax 512 --checkpoints 384 448 512 \
-      --save-every 32 --advance-budget 32 \
+      --save-every 16 --advance-budget 16 \
       --out /tmp/ns_march_scratch.json >> "$LOG" 2>&1
     rc=$?
   fi

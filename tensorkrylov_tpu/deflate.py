@@ -1328,6 +1328,10 @@ def solve_deflated(
                         budget_exhausted = True
                         break
                     S_eff = min(S_SEG, ck + 1 - k_prev)
+                    if advance_budget is not None:
+                        S_eff = min(
+                            S_eff,
+                            advance_budget - (k_prev - resumed_k_prev))
                     state = _df64_advance(
                         bands_h, bands_l, op.offsets, state, b_perp,
                         Uh, Ul, jnp.asarray(k_prev, jnp.int32),
