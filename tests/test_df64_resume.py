@@ -77,3 +77,34 @@ def test_state_cache_still_rejected_for_unsupported_storage(tmp_path):
         tk.solve_deflated(op, b, tk.SolverConfig(kmax=16), m=6,
                           storage="segmented",
                           state_cache=str(tmp_path / "x.npz"))
+
+
+def test_advance_budget_march_bit_exact(tmp_path):
+    """r5 budgeted-leg march: advance_budget runs run N steps past the
+    resumed cache, save, and return a partial RUNNING result; the marched
+    cache then completes to the SAME solve as one uninterrupted run."""
+    op, b = _problem()
+    cfg = tk.SolverConfig(kmax=16, tol=1e-30)
+    cache = str(tmp_path / "march.npz")
+
+    r1 = tk.solve_deflated(op, b, cfg, m=6, storage="df64",
+                           checkpoints=[8, 16], state_cache=cache,
+                           advance_budget=4)
+    assert r1.x is None and r1.niterations == 4
+    assert int(np.load(cache)["k_prev"]) == 5
+    r2 = tk.solve_deflated(op, b, cfg, m=6, storage="df64",
+                           checkpoints=[8, 16], state_cache=cache,
+                           advance_budget=7)
+    assert r2.x is None and r2.niterations == 11
+    # finish without a budget; must equal the uninterrupted solve
+    r_fin = tk.solve_deflated(op, b, cfg, m=6, storage="df64",
+                              checkpoints=[8, 16], state_cache=cache)
+    r_ref = tk.solve_deflated(op, b, cfg, m=6, storage="df64",
+                              checkpoints=[8, 16])
+    # interim checkpoints evaluated AFTER a resume see the cumulative
+    # sweep-overlap telemetry of later steps (conservative proxy), so only
+    # the deciding checkpoint and the solution are bit-comparable
+    assert r_fin.certified_bound[-1] == r_ref.certified_bound[-1]
+    assert r_fin.relative_residual[-1] == r_ref.relative_residual[-1]
+    np.testing.assert_array_equal(np.asarray(r_fin.x.factors),
+                                  np.asarray(r_ref.x.factors))
