@@ -1228,6 +1228,12 @@ def solve_deflated(
         rows_act = k_prev * op.d
         prev_rows = 0
         prev_k = 0
+        if os.path.exists(state_cache):
+            try:
+                if int(np.load(state_cache)["k_prev"]) == k_prev:
+                    return      # nothing new since the last save
+            except Exception:
+                pass
         prev_Vh = prev_Vl = prev_W = prev_C = None
         if os.path.exists(state_cache):
             try:
