@@ -26,8 +26,9 @@ for i in $(seq 1 40); do
   if [ "$K" -ge 385 ]; then
     echo "=== v4 finalize attempt $i (cache k_prev=$K) $(date -u +%H:%M:%S) ===" >> "$LOG"
     timeout 1800 python -m tensorkrylov_tpu.experiments.northstar \
-      --storage df64 --state-cache auto --final device --no-state-save \
-      --m 2048 --kmax 512 --checkpoints 384 448 512 --save-every 32 \
+      --storage df64 --state-cache auto --final device \
+      --m 2048 --kmax 512 --checkpoints 384 448 512 \
+      --save-every 16 --advance-budget 16 \
       --out "$OUT" >> "$LOG" 2>&1
     rc=$?
   else
