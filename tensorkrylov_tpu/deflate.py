@@ -1201,14 +1201,23 @@ def solve_deflated(
         collapse (1.6 MB/s) on a 256 MB buffer — chunking keeps each
         transfer in the fast regime and bounds what a worker death can
         lose mid-save."""
+        import time as _time
+
         n_cols = arr.shape[1]
         step = max(1, max_bytes // (n_cols * arr.dtype.itemsize))
         parts = []
         r = r0
+        rates = []
         while r < r1:
             r2 = min(r + step, r1)
+            t0_ = _time.perf_counter()
             parts.append(np.asarray(arr[r:r2]))
+            dt_ = _time.perf_counter() - t0_
+            rates.append(parts[-1].nbytes / 1e6 / max(dt_, 1e-9))
             r = r2
+        if verbose and rates:
+            print(f"  [pull] {len(rates)} chunks, MB/s: "
+                  + " ".join(f"{x:.1f}" for x in rates[:8]), flush=True)
         return (np.concatenate(parts, axis=0) if parts
                 else np.zeros((0, n_cols), arr.dtype))
 
