@@ -1195,7 +1195,7 @@ def solve_deflated(
         )
         os.replace(tmp, state_cache)
 
-    def _pull_rows_chunked(arr, r0: int, r1: int, max_bytes: int = 1 << 26):
+    def _pull_rows_chunked(arr, r0: int, r1: int, max_bytes: int = 1 << 24):
         """Device→host pull of rows [r0, r1) in bounded slices: the r5
         probe measured single pulls at ~20-27 MB/s for <=64 MB pieces but
         collapse (1.6 MB/s) on a 256 MB buffer — chunking keeps each
