@@ -432,7 +432,14 @@ def _evaluate_host_recorded(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
         T_w, Q = eigh_tridiagonal(dg[s, :k], od[s, 1:k])
         Ws = np.asarray(W[s, :k, :k], np.float64)
         Cs = np.asarray(Cm[s, :, :k], np.float64)
-        rho_s = float(np.sqrt((Ws ** 2).sum() + (Cs ** 2).sum()))
+        # SPECTRAL norm of the recorded perturbation [C_s; W_s]: the
+        # second-order Frechet remainder is bounded by the operator
+        # 2-norm, not Frobenius. At flagship scale the distinction is the
+        # certificate: ||P||_F = 5.6e-3 vs sigma_max = 1.3e-3 measured at
+        # k=400 (C entries are lambda_max*2^-48-scale — irreducible with
+        # 48-bit pair storage — so the r2 charge must be tight, r5).
+        rho_s = float(np.linalg.svd(np.vstack([Cs, Ws]),
+                                    compute_uv=False)[0])
         rho = max(rho, rho_s)
         g = Q.T[:, 0] * b0_norms[s]                             # Qᵀ(β₀e₀)
         Wt = Q.T @ Ws @ Q                                       # (k, k)
@@ -575,14 +582,45 @@ def _evaluate_host_recorded(dg, od, btil, beta, k, lam, c, b_norm, lam_min,
 
     dev_term = tri_term(dev_b) * slack / b_norm + b0_term
     eta_term = tri_term(eta_hat) * slack / b_norm
-    # second-order Frechet remainder: per exp-sum term j and factor, the
-    # exp-perturbation series tail is <= (gam_j rho)^2/2 e^{gam_j rho}
-    # (||e^{-gam T}|| <= 1, T PSD); y-error in b~-units, residual scaled
-    # by lambda_max of the joint operator, d factors each chargeable
-    lam_max_tot = float(np.sum(lam_gersh_f))
-    gr = gam * rho
-    r2_term = float(d * lam_max_tot * np.sum(
-        w_t * 0.5 * gr * gr * np.exp(np.minimum(gr, 50.0))))
+    # Second-order Frechet remainder (r5 tightening — the r4 form
+    # d*lambda_max_tot*sum w (gam*rho_F)^2/2 floored the flagship bound at
+    # ~7.6e-7). Derivation: the computed x keeps per-factor corrected
+    # columns Y_s = (exp + DF_s) b~_s, so the only representation error is
+    # the per-factor exp remainder R_s^t with ||R_s^t||_2 <=
+    # (gam_t*rho_2)^2/2 * e^{gam_t*rho_2} (rho_2 = SPECTRAL norm of the
+    # recorded [C_s; W_s]). The residual charge is ||A * sum_s R_s (x)
+    # others||: the mode-s'' factor of A hits
+    #   s'' = s   : ||A_s R_s^t||       <= lam_max_s * ||R_s^t||
+    #   s'' != s  : ||A_s'' E_s''^t||   <= sup_l l*e^{-gam_t l} +
+    #               perturbation slack  =  1/(e*gam_t)
+    #               + lam_max_s''*gam_t*rho_2*e^{gam_t*rho_2}
+    # so per factor s the multiplier is lam_max_s + sum_{s''!=s}(...)
+    # instead of d*lam_max_tot — at d=10 flagship scale a ~100x tighter,
+    # still fully rigorous envelope (PSD factors, Gershgorin lam_max_s).
+    # s''=s term: ||A_s R_s^t|| via the heat-kernel smoothing argument —
+    # R = gam^2 ∫₀¹∫₀^u e^{-gam(1-u)S} P e^{-gam(u-v)S} P e^{-gam v(S+P)},
+    # ||A e^{-gam(1-u)S}|| <= min(lam_max, 1/(e*gam*(1-u))); splitting the
+    # u-integral at delta = 1/(e*gam*lam_max) gives
+    #   ||A_s R_s^t|| <= gam*rho^2*(1 + ln(e*gam*lam_s))/e * e^{gam*rho}
+    # (min'd with the direct lam_s*(gam*rho)^2/2 bound — both rigorous).
+    # s''!=s term: ||A_s'' E_s''|| <= 1/(e*gam) + ||A(DF+R)|| with the
+    # same smoothing on DF: gam*rho*(1+ln(e*gam*lam))/e * e^{gam*rho}.
+    gr = gam * rho                                      # (t,), rho = max_s
+    egr = np.exp(np.minimum(gr, 50.0))
+    R_t = 0.5 * gr * gr * egr                           # ||R_s^t|| bound
+    r2_term = 0.0
+    for s in range(d):
+        Ls = 1.0 + np.log(np.maximum(np.e * gam * lam_gersh_f[s], 1.0))
+        AR_s = np.minimum(lam_gersh_f[s] * R_t,
+                          gam * rho * rho * Ls / np.e * egr)
+        off = np.zeros_like(gam)
+        for sp in range(d):
+            if sp == s:
+                continue
+            Lsp = 1.0 + np.log(np.maximum(np.e * gam * lam_gersh_f[sp], 1.0))
+            off += (1.0 / (np.e * gam)
+                    + gam * rho * Lsp / np.e * egr * (1.0 + 0.5 * gr * egr))
+        r2_term += float(np.sum(w_t * (AR_s + off * R_t)))
 
     rel = float(np.sqrt(boundary + max(float(r_comp_sq), 0.0))) / b_norm
     brs = boundary / (b_norm * b_norm)
