@@ -1536,26 +1536,41 @@ def solve_deflated(
             from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
 
             acc_sh = _NS(mesh, _P(fs, "mode", None))
-        acc = _put(jnp.zeros((d_, n_, t_act), jnp.float64), acc_sh)
-        for ci in range(nch_a):
-            k0_ = ci * ROWS
-            acc = _df64_assemble_chunk(
-                acc, state.Vh, state.Vl, jnp.asarray(k0_ * d_, jnp.int32),
-                jnp.asarray(Yvh_np[:, k0_:k0_ + ROWS, :]),
-                jnp.asarray(Yvl_np[:, k0_:k0_ + ROWS, :]), rows=ROWS)
         Yuh_np = Yu_np.astype(np.float32)
         Yul_np = (Yu_np - Yuh_np.astype(np.float64)).astype(np.float32)
         CM_U = min(256, m)
-        c0_ = 0
-        while c0_ < m:
-            c1_ = min(c0_ + CM_U, m)
-            Uhc_ = Uh[:, c0_:c1_] if Uh.ndim == 2 else Uh[:, :, c0_:c1_]
-            Ulc_ = Ul[:, c0_:c1_] if Ul.ndim == 2 else Ul[:, :, c0_:c1_]
-            acc = _df64_ulift_chunk(
-                acc, Uhc_, Ulc_,
-                jnp.asarray(Yuh_np[:, c0_:c1_, :]),
-                jnp.asarray(Yul_np[:, c0_:c1_, :]))
-            c0_ = c1_
+        # chunk the assembly over exp-sum columns t: the pair-GEMMs'
+        # f64 OUTPUT pays the ~8x f32-splat in HBM temps — at flagship
+        # shape a full-t accumulator compiled to 18.4 GB of temps and the
+        # remote compiler OOMed the chip (r5, measured). ~8 columns per
+        # chunk bounds the temp to ~2 GB.
+        TC = max(1, (1 << 28) // max(d_ * n_ * 8, 1))
+        acc_parts = []
+        for tc0 in range(0, t_act, TC):
+            tc1 = min(tc0 + TC, t_act)
+            acc_t = _put(jnp.zeros((d_, n_, tc1 - tc0), jnp.float64), acc_sh)
+            for ci in range(nch_a):
+                k0_ = ci * ROWS
+                acc_t = _df64_assemble_chunk(
+                    acc_t, state.Vh, state.Vl,
+                    jnp.asarray(k0_ * d_, jnp.int32),
+                    jnp.asarray(Yvh_np[:, k0_:k0_ + ROWS, tc0:tc1]),
+                    jnp.asarray(Yvl_np[:, k0_:k0_ + ROWS, tc0:tc1]),
+                    rows=ROWS)
+            c0_ = 0
+            while c0_ < m:
+                c1_ = min(c0_ + CM_U, m)
+                Uhc_ = Uh[:, c0_:c1_] if Uh.ndim == 2 else Uh[:, :, c0_:c1_]
+                Ulc_ = Ul[:, c0_:c1_] if Ul.ndim == 2 else Ul[:, :, c0_:c1_]
+                acc_t = _df64_ulift_chunk(
+                    acc_t, Uhc_, Ulc_,
+                    jnp.asarray(Yuh_np[:, c0_:c1_, tc0:tc1]),
+                    jnp.asarray(Yul_np[:, c0_:c1_, tc0:tc1]))
+                c0_ = c1_
+            acc_parts.append(acc_t)
+        acc = (acc_parts[0] if len(acc_parts) == 1
+               else jnp.concatenate(acc_parts, axis=2))
+        del acc_parts
         state = None          # release the 2·Kp·d·n f32 basis before the
         Uh = Ul = None        # cross-check Gram materializes its temps
         xf = acc
