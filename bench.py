@@ -247,7 +247,7 @@ for impl in ("resident", "xla"):
     t1 = time.perf_counter(); tk.solve_host_projected(opf, bj, cfg(impl, K2))
     t2 = time.perf_counter()
     t_step = ((t2 - t1) - (t1 - t0)) / (K2 - K1)
-    out["solve_%s_gnnz" % impl] = 3 * n * d / t_step / 1e9
+    out["solve_" + impl + "_gnnz"] = 3 * n * d / t_step / 1e9
 print(json.dumps(out))
 """
 
