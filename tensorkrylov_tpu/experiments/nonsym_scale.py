@@ -50,6 +50,11 @@ def main():
     p.add_argument("--check-every", type=int, default=16)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--host-projected", action="store_true",
+                   help="run via solve_host_projected (host-driven "
+                        "check_every segments — the tunnel-friendly "
+                        "execution; the monolithic while_loop died "
+                        "repeatedly on this machine's worker, r5)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -74,7 +79,8 @@ def main():
     cfg = tk.SolverConfig(kmax=args.kmax, tol=args.tol, orth="arnoldi",
                           tmax=args.tmax, check_every=args.check_every)
     t0 = time.perf_counter()
-    res = tk.solve(op, b, cfg)
+    solver = tk.solve_host_projected if args.host_projected else tk.solve
+    res = solver(op, b, cfg)
     jax.block_until_ready(res.x.weights)
     t_solve = time.perf_counter() - t0
     k = int(res.niterations)
