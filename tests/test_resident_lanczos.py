@@ -18,7 +18,8 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(
         rl.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
     )
-    monkeypatch.setattr(rl, "_resident_steps", rl._resident_steps.__wrapped__)
+    monkeypatch.setattr(rl, "_resident_steps_chunk",
+                        rl._resident_steps_chunk.__wrapped__)
 
 
 def _plain_steps(op, vp, vpp, beta, S):
