@@ -205,7 +205,9 @@ def _bench_solver_loop_resident(tk, jax, jnp, d=SPMV_D, n=SPMV_N):
 _RESIDENT_LANCZOS_CHILD = r"""
 import json, time
 import numpy as np
-import jax, jax.numpy as jnp
+import jax
+jax.config.update("jax_enable_x64", True)   # the solve part's f64 projected algebra
+import jax.numpy as jnp
 import tensorkrylov_tpu as tk
 from tensorkrylov_tpu.ops.pallas.resident_lanczos import (
     lanczos_resident_steps, lanczos_resident_supported)
@@ -225,9 +227,10 @@ def timed(S):
     t0 = time.perf_counter()
     for _ in range(3):
         out = lanczos_resident_steps(op, vp, vpp, beta, S)
-    jax.block_until_ready(out[0])
+        jax.block_until_ready(out[0])   # queued iterations held ~GBs of
+        # (S, d, n) outputs live at once -> HBM OOM at S=64 (measured)
     return (time.perf_counter() - t0) / 3
-S1, S2 = 8, 64
+S1, S2 = 8, 32
 t_r = (timed(S2) - timed(S1)) / (S2 - S1)
 out = {"gnnz": 3 * n * d / t_r / 1e9}
 # INSIDE-solve() numbers (VERDICT r4 #4): full solve_host_projected runs,
@@ -237,7 +240,7 @@ cfg = lambda impl, kmax: tk.SolverConfig(
     basis_dtype=jnp.float32, step_impl=impl, spectral_source="H")
 opf = tk.laplace(d, n, dtype=jnp.float32, shift=1.0)
 bj = jnp.asarray(b)
-K1, K2 = 48, 128   # V at K2: (129, d, n) f32 ~4.3 GB — fits HBM with the
+K1, K2 = 48, 96   # V at K2: (129, d, n) f32 ~4.3 GB — fits HBM with the
 #                    non-donated segment transient
 for impl in ("resident", "xla"):
     r = tk.solve_host_projected(opf, bj, cfg(impl, K1))   # warm both kmax
@@ -252,7 +255,7 @@ print(json.dumps(out))
 """
 
 
-def _bench_resident_lanczos_subprocess(d, n, timeout=420):
+def _bench_resident_lanczos_subprocess(d, n, timeout=900):
     """Time the resident multi-step Lanczos kernel in a SUBPROCESS with a
     timeout: a Mosaic compile hang in the experimental kernel must not take
     down the headline bench (same guard as the resident-SpMV child).

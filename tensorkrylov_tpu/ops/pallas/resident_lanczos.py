@@ -146,6 +146,12 @@ def _resident_steps_chunk(bands, vp, vpp, beta, offsets: Tuple[int, ...],
 
 
 def _stack_chunk(out):
+    # barrier: under an OUTER jit (solve_host_projected's segment update)
+    # XLA fuses the d pallas custom-calls with the stack below into one
+    # kCustom fusion whose scoped-vmem allocation is the full (d, S, n)
+    # stack (89 MB vs the 16 MB fusion limit — measured refusal). The
+    # barrier materializes the per-factor outputs to HBM first.
+    out = jax.lax.optimization_barrier(out)
     Vs, As, Bs, vps, vpps, betas = out
     return (
         jnp.stack(Vs, 1),                              # (S, d, n)
