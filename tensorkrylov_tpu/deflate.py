@@ -871,6 +871,22 @@ def solve_deflated(
             for ck in checkpoints
         })
 
+    if project_every > 1 or sweep_every > 1:
+        # VERDICT r4 weak #5: the stride escapes are measured-UNSOUND at
+        # production spectra (BASELINE.md r4: U-leak 3.2e-2 / Gram 1.3e-2
+        # at n=16384 outside the deflation window — exponential growth).
+        # The certificate stays honest either way (leak/overlap telemetry
+        # is measured and folded), but convergence can stall; make the
+        # regime boundary LOUD instead of a documented footgun.
+        import warnings
+
+        warnings.warn(
+            f"project_every={project_every}/sweep_every={sweep_every} > 1: "
+            "measured-unsound at production spectra (BASELINE.md r4 — "
+            "U-leak/Gram grow exponentially outside the deflation window); "
+            "validated only on small-kappa oracles. The certificate folds "
+            "the measured leak/overlap, but expect stalls at scale.",
+            RuntimeWarning, stacklevel=2)
     if final == "auto":
         final = "host"
     if final not in ("host", "device"):
